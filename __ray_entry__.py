@@ -20,8 +20,22 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (validate → decode → dedup → cell-encode → PIP-join →
+    tile-assign) at sf0.001 scale; driver checks rows >= 0 + stable schema.
+
+    The flagship input is the image+caption table mandated by BASELINE.json
+    ``input_hint`` — synthesized deterministically (seed 42) at a size
+    proportional to the sf0.001 testdata slice, materialized as parquet
+    under /tmp (lance is unavailable here; same Arrow schema).
+    """
+    import pyarrow.parquet as pq
+
+    from fairy_core_ray.pipelines.flagship import flagship
+    from fairy_core_ray.sources.synth import ensure_image_dataset
+
+    n_docs = pq.ParquetFile("/root/testdata/sf0.001/documents.parquet").metadata.num_rows
+    path = ensure_image_dataset(4 * n_docs, seed=42)
+    return flagship(path)["tile_stats"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -202,7 +202,7 @@ def ensure_image_dataset(n: int, seed: int = 42, root: str | None = None) -> str
 # reference's unknown-sample_id FAIL in
 # /root/reference/src/fairy/core/validators/rna.py:160-211).
 BBOX = (-122.6, 37.2, -121.6, 38.2)  # lon_min, lat_min, lon_max, lat_max
-TILE_BOX = (-122.5, 37.3, -121.7, 38.1)
+TILE_BOX = (-122.58, 37.22, -121.62, 38.18)  # ~92% coverage; rim points miss all tiles
 HOT_CENTER = (-122.1234, 37.7562)
 HOT_MOD = 13  # ~7.7% of points land in a ~100m blob around HOT_CENTER
 

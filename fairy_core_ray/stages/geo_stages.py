@@ -1,0 +1,72 @@
+"""Geospatial pipeline stages: footprint derivation, cell encoding, PIP join.
+
+These are the stages BASELINE.json's north rule adds beyond the reference's
+vocabulary: batched H3/S2-style cell encoding of image-derived footprints and
+a point-in-polygon join against the tile-boundary polygon set, run as an
+actor pool holding a per-worker spatial index (the STRtree role;
+functions/geo.py GridIndex). The unmatched side of the PIP join is the
+spatial analogue of the reference's id_crosscheck anti-join finding
+(/root/reference/src/fairy/core/validators/rna.py:160-211): a footprint in
+no tile is a FAIL-grade finding, emitted with ``tile_id = null``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from fairy_core_ray.functions.geo import DEFAULT_RES, GridIndex, encode_cells
+from fairy_core_ray.sources.synth import footprints_for
+
+
+def image_index_from_ids(batch: pa.Table) -> np.ndarray:
+    """Recover the int row index from image_id ('img-%012d') vectorized."""
+    return pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4, 99), pa.int64()).to_numpy()
+
+
+def add_footprints(batch: pa.Table, seed: int = 42) -> pa.Table:
+    """Append lon/lat derived deterministically from image_id."""
+    idx = image_index_from_ids(batch)
+    lon, lat = footprints_for(idx, seed)
+    return batch.append_column("lon", pa.array(lon, pa.float64())).append_column(
+        "lat", pa.array(lat, pa.float64())
+    )
+
+
+def add_cells(batch: pa.Table, res: int = DEFAULT_RES) -> pa.Table:
+    """Append the hierarchical cell id (stateless, vectorized)."""
+    cells = encode_cells(batch["lon"].to_numpy(), batch["lat"].to_numpy(), res)
+    return batch.append_column("cell", pa.array(cells, pa.int64()))
+
+
+class PipJoiner:
+    """Actor-pool PIP join stage.
+
+    The polygon set is broadcast once via ``ray.put`` on the driver; each
+    actor builds its GridIndex once in ``__init__`` (the STRtree pattern —
+    SURVEY.md §2.10). Each probe batch emits one output row per
+    (point, containing polygon) pair; points in no polygon emit one row
+    with ``tile_id = null`` (anti-join finding).
+    """
+
+    def __init__(self, polys_ref, nx: int = 64, ny: int = 64):
+        polys = ray.get(polys_ref) if not isinstance(polys_ref, list) else polys_ref
+        self.index = GridIndex(polys, nx=nx, ny=ny)
+        self.tile_ids = np.array([p[0] for p in self.index.polys], dtype=object)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch["lon"].to_numpy()
+        py = batch["lat"].to_numpy()
+        pt_idx, poly_idx = self.index.query_batch(px, py)
+        n = len(batch)
+        matched_mask = np.zeros(n, dtype=bool)
+        matched_mask[pt_idx] = True
+        unmatched = np.flatnonzero(~matched_mask)
+        take_idx = np.concatenate([pt_idx, unmatched])
+        tile_vals = np.concatenate(
+            [self.tile_ids[poly_idx], np.full(len(unmatched), None, dtype=object)]
+        )
+        out = batch.take(pa.array(take_idx, pa.int64()))
+        return out.append_column("tile_id", pa.array(tile_vals, pa.string()))
