@@ -1,0 +1,973 @@
+"""Driver-contract query registry: one entry per operator, with DuckDB
+oracle SQL for every SQL-expressible one.
+
+Each Ray implementation is the idiomatic distributed form of the
+operator (column-pruned reads, vectorized map_batches, partial
+aggregation before groupby, broadcast small sides); each oracle is the
+ANSI-SQL equivalent DuckDB runs on the same parquet views. Column names
+and dtypes match exactly (driver hash compares sorted values).
+
+Float policy: per-row derived floats use identical IEEE operations on
+both sides (exact equality); aggregated floats are rounded (2–5 dp) on
+both sides because summation order differs across engines.
+
+Reference parity: the validation-vocabulary queries re-express the
+reference's checks (/root/reference/src/fairy/validation/
+rulepack_runner.py — see stages/checks.py) as SQL-checkable predicates
+over the driver's TPC-H-ish tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from fairy_core_ray.functions.geo import encode_cells
+from fairy_core_ray.stages import dedup as dd
+from fairy_core_ray.stages import knn as knn_mod
+from fairy_core_ray.stages import text_stages as ts
+
+# ---------------------------------------------------------------------------
+# shared helpers + deterministic geo derivation (mirrored in SQL)
+# ---------------------------------------------------------------------------
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def event_lonlat(event_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic synthetic footprint per event (int64 arithmetic +
+    one division — bit-identical between numpy and DuckDB)."""
+    eid = event_id.astype(np.int64)
+    lon = -122.6 + ((eid * 2654435761) % 1000000) / 1000000.0
+    lat = 37.2 + ((eid * 104729 + 12345) % 1000000) / 1000000.0
+    return lon, lat
+
+
+EVENT_LONLAT_SQL = (
+    "SELECT event_id, "
+    "-122.6 + ((event_id * 2654435761) % 1000000) / 1000000.0 AS lon, "
+    "37.2 + ((event_id * 104729 + 12345) % 1000000) / 1000000.0 AS lat "
+    "FROM events"
+)
+
+CELL_SQL = (
+    "(13 * 288230376151711744 "
+    "+ CAST(floor((lon + 180.0) / 360.0 * 8192) AS BIGINT) * 536870912 "
+    "+ CAST(floor((lat + 90.0) / 180.0 * 8192) AS BIGINT))"
+)
+
+# 12 irregular, partly overlapping rectangles with gaps (lon0, lat0, lon1, lat1)
+RECTS = [
+    ("r00", -122.60, 37.20, -122.35, 37.50),
+    ("r01", -122.35, 37.20, -122.10, 37.45),
+    ("r02", -122.10, 37.20, -121.80, 37.55),
+    ("r03", -121.80, 37.20, -121.60, 37.40),
+    ("r04", -122.55, 37.50, -122.20, 37.80),
+    ("r05", -122.20, 37.45, -121.90, 37.75),
+    ("r06", -121.90, 37.55, -121.60, 37.85),
+    ("r07", -122.60, 37.80, -122.30, 38.10),
+    ("r08", -122.30, 37.75, -122.00, 38.05),
+    ("r09", -122.00, 37.85, -121.70, 38.20),
+    ("r10", -122.45, 37.65, -122.05, 37.95),  # overlaps r04/r05/r07/r08
+    ("r11", -121.75, 37.30, -121.62, 38.00),  # tall sliver, overlaps r03/r06
+]
+
+RECTS_SQL_VALUES = ", ".join(
+    f"('{tid}', {x0!r}, {y0!r}, {x1!r}, {y1!r})" for tid, x0, y0, x1, y1 in RECTS
+)
+
+KNN_QUERIES = [
+    (0, -122.30, 37.55),
+    (1, -122.05, 37.95),
+    (2, -121.75, 37.30),
+    (3, -122.55, 38.15),
+    (4, -122.123, 37.756),
+]
+KNN_Q_SQL_VALUES = ", ".join(f"({q}, {x!r}, {y!r})" for q, x, y in KNN_QUERIES)
+
+PHASH_SQL = "((m1 * m1 * 3 + m1 * 65537 + 11) % 2305843009213693951)"
+PHASH_M1_SQL = "((doc_id * 2654435761) % 1000003)"
+
+
+def doc_phash(doc_id: np.ndarray) -> np.ndarray:
+    m1 = (doc_id.astype(np.int64) * 2654435761) % 1000003
+    return (m1 * m1 * 3 + m1 * 65537 + 11) % 2305843009213693951
+
+
+def _scalar_count(n: int, name: str = "violations") -> pa.Table:
+    return pa.table({name: pa.array([n], pa.int64())})
+
+
+def _events_points(sf_dir: str) -> rd.Dataset:
+    def add(t: pa.Table) -> pa.Table:
+        lon, lat = event_lonlat(t["event_id"].to_numpy())
+        return (
+            t.append_column("lon", pa.array(lon, pa.float64()))
+            .append_column("lat", pa.array(lat, pa.float64()))
+        )
+
+    return _t(sf_dir, "events", ["event_id"]).map_batches(add, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# validation vocabulary over driver tables
+# ---------------------------------------------------------------------------
+
+
+def q_required_nullish(sf_dir: str):
+    """required (rulepack_runner.py:601-636): nullish cells in a column."""
+    ds = _t(sf_dir, "orders", ["o_orderpriority"])
+
+    def count(t: pa.Table) -> pa.Table:
+        col = t["o_orderpriority"]
+        bad = pc.or_(
+            pc.is_null(col), pc.equal(pc.utf8_trim_whitespace(pc.fill_null(col, "")), "")
+        )
+        return pa.table({"partial": pa.array([pc.sum(pc.cast(bad, pa.int64())).as_py() or 0], pa.int64())})
+
+    n = sum(b["partial"][0].as_py() for b in ds.map_batches(count, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    return _scalar_count(int(n))
+
+
+def q_non_empty_trimmed(sf_dir: str):
+    """non_empty_trimmed (rulepack_runner.py:699-725) on documents.text."""
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        bad = pc.or_(
+            pc.is_null(col), pc.equal(pc.utf8_trim_whitespace(pc.fill_null(col, "")), "")
+        )
+        return pa.table({"partial": pa.array([pc.sum(pc.cast(bad, pa.int64())).as_py() or 0], pa.int64())})
+
+    n = sum(b["partial"][0].as_py() for b in ds.map_batches(count, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    return _scalar_count(int(n))
+
+
+def q_enum_event_type(sf_dir: str):
+    """enum (rulepack_runner.py:435-471; NaN violates) on event_type."""
+    allow = pa.array(["view", "click", "purchase"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        ok = pc.fill_null(pc.is_in(t["event_type"], value_set=allow), False)
+        return t.filter(pc.invert(ok)).select(["event_id"])
+
+    return _t(sf_dir, "events", ["event_id", "event_type"]).map_batches(
+        flt, batch_format="pyarrow"
+    )
+
+
+def q_range_quantity(sf_dir: str):
+    """range (rulepack_runner.py:474-519) on l_quantity ∈ [5, 45]."""
+
+    def flt(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"]
+        bad = pc.or_(
+            pc.or_(pc.is_null(q), pc.less(q, 5.0)), pc.greater(q, 45.0)
+        )
+        return t.filter(bad).select(["l_orderkey", "l_linenumber", "l_quantity"])
+
+    return _t(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]
+    ).map_batches(flt, batch_format="pyarrow")
+
+
+def q_regex_forbidden(sf_dir: str):
+    """regex 'matches' mode (rulepack_runner.py:728-823): forbidden
+    repeated word."""
+
+    def flt(t: pa.Table) -> pa.Table:
+        hit = pc.fill_null(pc.match_substring_regex(t["text"], "value value"), False)
+        return t.filter(hit).select(["doc_id"])
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        flt, batch_format="pyarrow"
+    )
+
+
+def q_dup_lang_source(sf_dir: str):
+    """dup keep-first (rulepack_runner.py:359-389) on (lang, source):
+    2nd+ occurrences ordered by doc_id."""
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "source"])
+    marked = dd.keep_first(
+        ds,
+        key_fn=lambda t: pc.binary_join_element_wise(
+            pc.cast(t["lang"], pa.string()), pc.cast(t["source"], pa.string()), "\x1f"
+        ),
+        order_col="doc_id",
+    )
+    return marked.map_batches(
+        lambda t: t.filter(pc.invert(t["dup_first"])).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_unique_counts(sf_dir: str):
+    """unique (rulepack_runner.py:392-421) as distinct-vs-total tally."""
+    ds = _t(sf_dir, "events", ["event_id"])
+    total = ds.count()
+    distinct = ds.unique("event_id")
+    return pa.table(
+        {
+            "total_rows": pa.array([total], pa.int64()),
+            "distinct_ids": pa.array([len(distinct)], pa.int64()),
+        }
+    )
+
+
+def q_fk_missing(sf_dir: str):
+    """foreign_key anti-join (rulepack_runner.py:525-568):
+    events.user_id → supplier.s_suppkey, missing distinct values."""
+    right = set(_t(sf_dir, "supplier", ["s_suppkey"]).unique("s_suppkey"))
+    rref = ray.put(right)
+
+    def flt(t: pa.Table) -> pa.Table:
+        allowed = ray.get(rref)
+        uid = t["user_id"].to_numpy()
+        mask = ~np.isin(uid, np.fromiter(allowed, dtype=np.int64))
+        return pa.table({"user_id": pa.array(uid[mask], pa.int64())})
+
+    missing = (
+        _t(sf_dir, "events", ["user_id"])
+        .map_batches(flt, batch_format="pyarrow")
+        .unique("user_id")
+    )
+    return pa.table({"user_id": pa.array(sorted(missing), pa.int64())})
+
+
+def q_at_least_one_nonempty(sf_dir: str):
+    """at_least_one_nonempty_per_row (reference rna.py:122-157):
+    events rows where props AND value are both nullish."""
+    ds = _t(sf_dir, "events", ["props", "value"])
+
+    def count(t: pa.Table) -> pa.Table:
+        p = t["props"]
+        p_bad = pc.or_(
+            pc.is_null(p), pc.equal(pc.utf8_trim_whitespace(pc.fill_null(p, "")), "")
+        )
+        v_bad = pc.is_null(t["value"])
+        bad = pc.and_(p_bad, v_bad)
+        return pa.table({"partial": pa.array([pc.sum(pc.cast(bad, pa.int64())).as_py() or 0], pa.int64())})
+
+    n = sum(b["partial"][0].as_py() for b in ds.map_batches(count, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    return _scalar_count(int(n))
+
+
+def q_group_incomplete(sf_dir: str):
+    """grouped completeness (reference rna.py:214-272 paired_end_complete
+    analogue): orders whose lineitems do not cover both linestatus
+    values. Two chained hash aggregates — distinct pairs, then per-key
+    distinct counts; no per-group Python."""
+    pairs = (
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_linestatus"])
+        .groupby(["l_orderkey", "l_linestatus"])
+        .aggregate(rd.aggregate.Count(alias_name="_n"))
+    )
+    per_key = (
+        pairs.select_columns(["l_orderkey"])
+        .groupby("l_orderkey")
+        .aggregate(rd.aggregate.Count(alias_name="n_status"))
+    )
+    return per_key.filter(expr="n_status < 2").select_columns(["l_orderkey"])
+
+
+def q_orders_by_year(sf_dir: str):
+    """date handling (reference rna.py:275-308 analogue): orders per
+    year. Per-batch partial counts, then a tiny groupby."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df["o_orderdate"].dt.year.value_counts().rename_axis("order_year").rename("partial_n").reset_index()
+        )
+        out["order_year"] = out["order_year"].astype(np.int64)
+        return out
+
+    agg = (
+        _t(sf_dir, "orders", ["o_orderdate"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("order_year")
+        .aggregate(rd.aggregate.Sum("partial_n", alias_name="n_orders"))
+    )
+    return agg
+
+
+# ---------------------------------------------------------------------------
+# aggregates / sorts / joins
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate with per-batch partial combine
+    (the shuffle moves one row per group per batch)."""
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            disc_price=df["l_extendedprice"] * (1 - df["l_discount"]),
+            charge=df["l_extendedprice"] * (1 - df["l_discount"]) * (1 + df["l_tax"]),
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            p_qty=("l_quantity", "sum"),
+            p_base=("l_extendedprice", "sum"),
+            p_disc=("disc_price", "sum"),
+            p_charge=("charge", "sum"),
+            p_n=("l_quantity", "size"),
+        )
+        return g.reset_index()
+
+    agg = (
+        _t(sf_dir, "lineitem", cols)
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            rd.aggregate.Sum("p_qty", alias_name="s_qty"),
+            rd.aggregate.Sum("p_base", alias_name="s_base"),
+            rd.aggregate.Sum("p_disc", alias_name="s_disc"),
+            rd.aggregate.Sum("p_charge", alias_name="s_charge"),
+            rd.aggregate.Sum("p_n", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "l_returnflag": agg["l_returnflag"],
+            "l_linestatus": agg["l_linestatus"],
+            "sum_qty": agg["s_qty"].round(2),
+            "sum_base_price": agg["s_base"].round(2),
+            "sum_disc_price": agg["s_disc"].round(2),
+            "sum_charge": agg["s_charge"].round(2),
+            "avg_qty": (agg["s_qty"] / agg["count_order"]).round(4),
+            "avg_price": (agg["s_base"] / agg["count_order"]).round(4),
+            "count_order": agg["count_order"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q_top10_orders(sf_dir: str):
+    """sort + limit (top-k)."""
+    return (
+        _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q_acctbal_by_nation(sf_dir: str):
+    """broadcast join: customer aggregate + nation dimension lookup."""
+    agg = (
+        _t(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .groupby("c_nationkey")
+        .aggregate(
+            rd.aggregate.Sum("c_acctbal", alias_name="s_bal"),
+            rd.aggregate.Count(alias_name="n_customers"),
+        )
+        .to_pandas()
+    )
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = agg.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    return pd.DataFrame(
+        {
+            "n_name": out["n_name"],
+            "total_acctbal": out["s_bal"].round(2),
+            "n_customers": out["n_customers"].astype(np.int64),
+        }
+    ).sort_values("n_name").reset_index(drop=True)
+
+
+def q_events_hourly(sf_dir: str):
+    """tumbling-window aggregate: counts + value sums per (type, hour)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hour = (df["ts"].astype("int64") // 3_600_000_000) * 3600  # µs → s, floor hour
+        g = (
+            df.assign(hour_ts=hour)
+            .groupby(["event_type", "hour_ts"], sort=False)
+            .agg(p_n=("value", "size"), p_v=("value", "sum"))
+            .reset_index()
+        )
+        return g
+
+    agg = (
+        _t(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "hour_ts"])
+        .aggregate(
+            rd.aggregate.Sum("p_n", alias_name="n_events"),
+            rd.aggregate.Sum("p_v", alias_name="s_value"),
+        )
+        .to_pandas()
+    )
+    agg["n_events"] = agg["n_events"].astype(np.int64)
+    agg["s_value"] = agg["s_value"].round(4)
+    return agg
+
+
+# ---------------------------------------------------------------------------
+# geospatial
+# ---------------------------------------------------------------------------
+
+
+def q_geo_cell_hist(sf_dir: str):
+    """H3/S2-style cell encoding + histogram (north rule stage [G])."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        lon, lat = event_lonlat(t["event_id"].to_numpy())
+        cells = encode_cells(lon, lat, 13)
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(uniq, pa.int64()), "partial_n": pa.array(counts, pa.int64())}
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(rd.aggregate.Sum("partial_n", alias_name="n_points"))
+    )
+
+
+def _rect_polys():
+    return [
+        {"tile_id": tid, "xs": [x0, x1, x1, x0], "ys": [y0, y0, y1, y1]}
+        for tid, x0, y0, x1, y1 in RECTS
+    ]
+
+
+def q_geo_pip(sf_dir: str):
+    """point-in-polygon join against the rectangle tile set via the
+    GridIndex actor pool (north rule stage [J]); inner matches only."""
+    from fairy_core_ray.stages.geo_stages import PipJoiner
+
+    polys_ref = ray.put(_rect_polys())
+    joined = _events_points(sf_dir).map_batches(
+        PipJoiner,
+        fn_constructor_kwargs={"polys_ref": polys_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def keep_matched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["tile_id"])).select(["event_id", "tile_id"])
+
+    return joined.map_batches(keep_matched, batch_format="pyarrow")
+
+
+def q_geo_pip_unmatched(sf_dir: str):
+    """anti-join side: events whose footprint falls in no tile
+    (reference id_crosscheck finding shape, rna.py:160-211)."""
+    from fairy_core_ray.stages.geo_stages import PipJoiner
+
+    polys_ref = ray.put(_rect_polys())
+    joined = _events_points(sf_dir).map_batches(
+        PipJoiner,
+        fn_constructor_kwargs={"polys_ref": polys_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["tile_id"])).select(["event_id"])
+
+    return joined.map_batches(keep_unmatched, batch_format="pyarrow")
+
+
+def q_geo_tile_hist(sf_dir: str):
+    """tile assignment histogram: groupby(tile) with per-batch partials
+    (north rule stage [T])."""
+    pip = q_geo_pip(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tid = t["tile_id"].to_pylist()
+        ser = pd.Series(tid).value_counts()
+        return pa.table(
+            {
+                "tile_id": pa.array(ser.index.tolist(), pa.string()),
+                "partial_n": pa.array(ser.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        pip.map_batches(partial, batch_format="pyarrow")
+        .groupby("tile_id")
+        .aggregate(rd.aggregate.Sum("partial_n", alias_name="n_points"))
+    )
+
+
+def q_geo_knn(sf_dir: str):
+    """kNN: 5 broadcast query points, per-batch partial top-3 by squared
+    euclidean, associative merge (north rule stage [K])."""
+    qs = np.array([[x, y] for _, x, y in KNN_QUERIES])
+    qids = [q for q, _, _ in KNN_QUERIES]
+    qref = ray.put((qs, qids))
+    k = 3
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        Q, ids = ray.get(qref)
+        lon, lat = event_lonlat(t["event_id"].to_numpy())
+        eid = t["event_id"].to_numpy()
+        rows = []
+        for qi in range(len(Q)):
+            dlon = lon - Q[qi, 0]
+            dlat = lat - Q[qi, 1]
+            d2 = dlon * dlon + dlat * dlat
+            kk = min(k, len(d2))
+            top = np.argpartition(d2, kk - 1)[:kk]
+            for t2 in top:
+                rows.append((ids[qi], int(eid[t2]), float(d2[t2])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "dist2"])
+
+    parts = [
+        b
+        for b in _t(sf_dir, "events", ["event_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pandas")
+    ]
+    allp = pd.concat(parts, ignore_index=True)
+    allp = allp.sort_values(["query_id", "dist2", "neighbor_id"], kind="mergesort")
+    out = allp.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["query_id"] = out["query_id"].astype(np.int64)
+    out["neighbor_id"] = out["neighbor_id"].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_md5(sf_dir: str):
+    """exact dedup keep-first on md5(text) → kept doc_ids."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def key_fn(t: pa.Table) -> pa.Array:
+        return pa.array(dd.md5_hex(pd.Series(t["text"].to_pylist())).tolist(), pa.string())
+
+    marked = dd.keep_first(ds, key_fn=key_fn, order_col="doc_id")
+    return marked.map_batches(
+        lambda t: t.filter(t["dup_first"]).select(["doc_id"]), batch_format="pyarrow"
+    )
+
+
+def q_embed_knn(sf_dir: str):
+    """brute-force cosine top-5 for query vectors 0..4 (broadcast query
+    matrix, per-batch matmul partial top-k)."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = knn_mod.cosine_topk(emb, Q, qdf["vec_id"].tolist(), k=5)
+    out = out.copy()
+    out["cosine"] = out["cosine"].round(5)
+    out["query_id"] = out["query_id"].astype(np.int64)
+    out["neighbor_id"] = out["neighbor_id"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def q_embed_neardup(sf_dir: str):
+    """embedding-cosine near-dup pairs (threshold 0.4)."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = dd.embedding_neardup_pairs(emb, threshold=0.4)
+    out = out.copy()
+    if len(out):
+        out["cosine"] = out["cosine"].round(5)
+        out["id_a"] = out["id_a"].astype(np.int64)
+        out["id_b"] = out["id_b"].astype(np.int64)
+    else:
+        out = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+                "cosine": pd.Series([], dtype=np.float64),
+            }
+        )
+    return out
+
+
+def q_phash_hamming_knn(sf_dir: str):
+    """Hamming top-5 over synthetic 61-bit phashes (north-rule phash kNN
+    shape, SQL-checkable via xor+bit_count)."""
+    ds = _t(sf_dir, "documents", ["doc_id"])
+
+    def add(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "phash", pa.array(doc_phash(t["doc_id"].to_numpy()), pa.int64())
+        )
+
+    with_ph = ds.map_batches(add, batch_format="pyarrow")
+    q_hashes = [int(h) for h in doc_phash(np.array([0, 1, 2], dtype=np.int64))]
+    out = knn_mod.hamming_topk(with_ph, q_hashes, id_col="doc_id", k=5)
+    out["query_id"] = out["query_id"].astype(np.int64)
+    out["neighbor_id"] = out["neighbor_id"].astype(np.int64)
+    out["hamming"] = out["hamming"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def q_token_stats(sf_dir: str):
+    """token counting: totals per lang."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n_tok=ts.token_count(df["text"]))
+        g = df.groupby("lang", sort=False).agg(
+            p_tok=("n_tok", "sum"), p_chars=("n_chars", "sum"), p_n=("n_chars", "size")
+        )
+        return g.reset_index()
+
+    agg = (
+        _t(sf_dir, "documents", ["lang", "text", "n_chars"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            rd.aggregate.Sum("p_tok", alias_name="total_tokens"),
+            rd.aggregate.Sum("p_chars", alias_name="s_chars"),
+            rd.aggregate.Sum("p_n", alias_name="n_docs"),
+        )
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "lang": agg["lang"],
+            "total_tokens": agg["total_tokens"].astype(np.int64),
+            "avg_chars": (agg["s_chars"] / agg["n_docs"]).round(4),
+            "n_docs": agg["n_docs"].astype(np.int64),
+        }
+    ).sort_values("lang").reset_index(drop=True)
+
+
+def q_short_docs(sf_dir: str):
+    """quality screen: short documents per lang."""
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["n_chars"], 200)).select(["lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ser = pd.Series(t["lang"].to_pylist()).value_counts()
+        return pa.table(
+            {
+                "lang": pa.array(ser.index.tolist(), pa.string()),
+                "partial_n": pa.array(ser.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _t(sf_dir, "documents", ["lang", "n_chars"])
+        .map_batches(flt, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(rd.aggregate.Sum("partial_n", alias_name="n_short"))
+    )
+
+
+# ----- rows-only (non-SQL-expressible) operators -----
+
+
+def q_langid(sf_dir: str):
+    """heuristic language-ID over documents (actor pool; rows-only)."""
+    return (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(ts.LangId, batch_format="pandas", concurrency=(1, 4))
+        .select_columns(["doc_id", "lang_pred"])
+    )
+
+
+def q_quality_scores(sf_dir: str):
+    """quality scoring over documents (rows-only)."""
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        feats = ts.quality_features(df["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "quality": np.round(ts.quality_score(feats), 6),
+                "n_tokens": feats["n_tokens"].to_numpy(),
+            }
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
+
+
+def q_fingerprints(sf_dir: str):
+    """rolling-hash document fingerprint (rows-only)."""
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        fps = ts.rolling_fingerprint(df["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "fp_min": [int(f[0]) if f else -1 for f in fps],
+                "fp_n": [len(f) for f in fps],
+            }
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fp, batch_format="pandas"
+    )
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup pairs (rows-only; pytest oracle on seeded
+    duplicates)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return dd.minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (rows-only)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return dd.simhash_pairs(ds, max_hamming=3)
+
+
+def q_ngram_pairs(sf_dir: str):
+    """word-3-gram Jaccard near-dup pairs (rows-only)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return dd.ngram_jaccard_pairs(ds, threshold=0.5)
+
+
+def q_lsh_ann(sf_dir: str):
+    """LSH-bucketed approximate cosine kNN (rows-only; recall vs exact
+    checked in pytest)."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = knn_mod.lsh_cosine_ann(emb, Q, qdf["vec_id"].tolist(), k=5)
+    if len(out):
+        out = out.copy()
+        out["cosine"] = out["cosine"].round(5)
+        out["query_id"] = out["query_id"].astype(np.int64)
+        out["neighbor_id"] = out["neighbor_id"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def q_flagship_tile_stats(sf_dir: str):
+    """flagship image pipeline tile stats at a size scaled to sf_dir
+    (rows-only; golden-tested against the sequential oracle)."""
+    import pyarrow.parquet as pq
+
+    from fairy_core_ray.pipelines.flagship import flagship
+    from fairy_core_ray.sources.synth import ensure_image_dataset
+
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    path = ensure_image_dataset(4 * n_docs, seed=42)
+    return flagship(path)["tile_stats"]
+
+
+def q_cell_phash_knn(sf_dir: str):
+    """per-cell Hamming kNN over the flagship table (north rule: kNN on
+    phash+cell composite; rows-only)."""
+    import pyarrow.parquet as pq
+
+    from fairy_core_ray.pipelines.flagship import validated_images
+    from fairy_core_ray.sources.synth import ensure_image_dataset
+    from fairy_core_ray.stages.geo_stages import add_cells, add_footprints
+
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    path = ensure_image_dataset(2 * n_docs, seed=42)
+    ds = (
+        validated_images(path, decode=False)
+        .map_batches(lambda t: add_footprints(t), batch_format="pyarrow")
+        .map_batches(lambda t: add_cells(t, 8), batch_format="pyarrow")
+    )
+    return knn_mod.cell_hamming_knn(ds, k=2)
+
+
+# ---------------------------------------------------------------------------
+# registries
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "required_nullish": q_required_nullish,
+    "non_empty_trimmed": q_non_empty_trimmed,
+    "enum_event_type": q_enum_event_type,
+    "range_quantity": q_range_quantity,
+    "regex_forbidden": q_regex_forbidden,
+    "dup_lang_source": q_dup_lang_source,
+    "unique_counts": q_unique_counts,
+    "fk_missing": q_fk_missing,
+    "at_least_one_nonempty": q_at_least_one_nonempty,
+    "group_incomplete": q_group_incomplete,
+    "orders_by_year": q_orders_by_year,
+    "tpch_q1": q_tpch_q1,
+    "top10_orders": q_top10_orders,
+    "acctbal_by_nation": q_acctbal_by_nation,
+    "events_hourly": q_events_hourly,
+    "geo_cell_hist": q_geo_cell_hist,
+    "geo_pip": q_geo_pip,
+    "geo_pip_unmatched": q_geo_pip_unmatched,
+    "geo_tile_hist": q_geo_tile_hist,
+    "geo_knn": q_geo_knn,
+    "dedup_exact_md5": q_dedup_exact_md5,
+    "embed_knn": q_embed_knn,
+    "embed_neardup": q_embed_neardup,
+    "phash_hamming_knn": q_phash_hamming_knn,
+    "token_stats": q_token_stats,
+    "short_docs": q_short_docs,
+    "langid": q_langid,
+    "quality_scores": q_quality_scores,
+    "fingerprints": q_fingerprints,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ngram_pairs": q_ngram_pairs,
+    "lsh_ann": q_lsh_ann,
+    "flagship_tile_stats": q_flagship_tile_stats,
+    "cell_phash_knn": q_cell_phash_knn,
+}
+
+_PTS = f"WITH pts AS ({EVENT_LONLAT_SQL})"
+
+ORACLE = {
+    "required_nullish": (
+        "SELECT count(*) AS violations FROM orders "
+        "WHERE o_orderpriority IS NULL OR trim(o_orderpriority) = ''"
+    ),
+    "non_empty_trimmed": (
+        "SELECT count(*) AS violations FROM documents "
+        "WHERE text IS NULL OR trim(text) = ''"
+    ),
+    "enum_event_type": (
+        "SELECT event_id FROM events WHERE event_type IS NULL "
+        "OR event_type NOT IN ('view', 'click', 'purchase') ORDER BY event_id"
+    ),
+    "range_quantity": (
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+        "WHERE l_quantity IS NULL OR l_quantity < 5 OR l_quantity > 45"
+    ),
+    "regex_forbidden": (
+        "SELECT doc_id FROM documents WHERE regexp_matches(text, 'value value') "
+        "ORDER BY doc_id"
+    ),
+    "dup_lang_source": (
+        "SELECT doc_id FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) > 1 "
+        "ORDER BY doc_id"
+    ),
+    "unique_counts": (
+        "SELECT count(*) AS total_rows, count(DISTINCT event_id) AS distinct_ids FROM events"
+    ),
+    "fk_missing": (
+        "SELECT DISTINCT user_id FROM events "
+        "WHERE user_id NOT IN (SELECT s_suppkey FROM supplier) ORDER BY user_id"
+    ),
+    "at_least_one_nonempty": (
+        "SELECT count(*) AS violations FROM events "
+        "WHERE (props IS NULL OR trim(props) = '') AND value IS NULL"
+    ),
+    "group_incomplete": (
+        "SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+        "HAVING count(DISTINCT l_linestatus) < 2 ORDER BY l_orderkey"
+    ),
+    "orders_by_year": (
+        "SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS order_year, "
+        "count(*) AS n_orders FROM orders GROUP BY 1 ORDER BY 1"
+    ),
+    "tpch_q1": (
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+        "round(sum(l_quantity) / count(*), 4) AS avg_qty, "
+        "round(sum(l_extendedprice) / count(*), 4) AS avg_price, "
+        "count(*) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2"
+    ),
+    "top10_orders": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+    "acctbal_by_nation": (
+        "SELECT n_name, round(sum(c_acctbal), 2) AS total_acctbal, "
+        "count(*) AS n_customers FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"
+    ),
+    "events_hourly": (
+        "SELECT event_type, "
+        "(CAST(epoch_us(ts) AS BIGINT) // 3600000000) * 3600 AS hour_ts, "
+        "count(*) AS n_events, round(sum(value), 4) AS s_value "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "geo_cell_hist": (
+        f"{_PTS} SELECT {CELL_SQL} AS cell, count(*) AS n_points "
+        "FROM pts GROUP BY 1 ORDER BY 1"
+    ),
+    "geo_pip": (
+        f"{_PTS}, rects(tile_id, x0, y0, x1, y1) AS (VALUES {RECTS_SQL_VALUES}) "
+        "SELECT event_id, tile_id FROM pts CROSS JOIN rects "
+        "WHERE lon >= x0 AND lon < x1 AND lat >= y0 AND lat < y1 "
+        "ORDER BY event_id, tile_id"
+    ),
+    "geo_pip_unmatched": (
+        f"{_PTS}, rects(tile_id, x0, y0, x1, y1) AS (VALUES {RECTS_SQL_VALUES}) "
+        "SELECT event_id FROM pts WHERE NOT EXISTS ("
+        "SELECT 1 FROM rects WHERE lon >= x0 AND lon < x1 AND lat >= y0 AND lat < y1"
+        ") ORDER BY event_id"
+    ),
+    "geo_tile_hist": (
+        f"{_PTS}, rects(tile_id, x0, y0, x1, y1) AS (VALUES {RECTS_SQL_VALUES}) "
+        "SELECT tile_id, count(*) AS n_points FROM pts CROSS JOIN rects "
+        "WHERE lon >= x0 AND lon < x1 AND lat >= y0 AND lat < y1 "
+        "GROUP BY tile_id ORDER BY tile_id"
+    ),
+    "geo_knn": (
+        f"{_PTS}, q(query_id, qlon, qlat) AS (VALUES {KNN_Q_SQL_VALUES}) "
+        "SELECT query_id, event_id AS neighbor_id, "
+        "(lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat) AS dist2 "
+        "FROM pts CROSS JOIN q "
+        "QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY "
+        "(lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat), event_id) <= 3 "
+        "ORDER BY query_id, dist2, neighbor_id"
+    ),
+    "dedup_exact_md5": (
+        "SELECT doc_id FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 "
+        "ORDER BY doc_id"
+    ),
+    "embed_knn": (
+        "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+        "CAST(e.embedding AS DOUBLE[])), 5) AS cosine "
+        "FROM embeddings q CROSS JOIN embeddings e "
+        "WHERE q.vec_id < 5 AND e.vec_id != q.vec_id "
+        "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+        "CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) <= 5 "
+        "ORDER BY query_id, cosine DESC, neighbor_id"
+    ),
+    "embed_neardup": (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 5) AS cosine "
+        "FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id "
+        "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY id_a, id_b"
+    ),
+    "phash_hamming_knn": (
+        f"WITH m AS (SELECT doc_id, {PHASH_M1_SQL} AS m1 FROM documents), "
+        f"ph AS (SELECT doc_id, {PHASH_SQL} AS phash FROM m), "
+        "q AS (SELECT phash AS qh FROM ph WHERE doc_id IN (0, 1, 2)) "
+        "SELECT q.qh AS query_id, ph.doc_id AS neighbor_id, "
+        "CAST(bit_count(xor(q.qh, ph.phash)) AS BIGINT) AS hamming FROM q CROSS JOIN ph "
+        "QUALIFY row_number() OVER (PARTITION BY q.qh ORDER BY "
+        "bit_count(xor(q.qh, ph.phash)), ph.doc_id) <= 5 "
+        "ORDER BY query_id, hamming, neighbor_id"
+    ),
+    "token_stats": (
+        "SELECT lang, "
+        "CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens, "
+        "round(sum(n_chars) / count(*), 4) AS avg_chars, count(*) AS n_docs "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    "short_docs": (
+        "SELECT lang, count(*) AS n_short FROM documents "
+        "WHERE n_chars < 200 GROUP BY lang ORDER BY lang"
+    ),
+}

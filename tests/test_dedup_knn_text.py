@@ -1,0 +1,207 @@
+"""Operator tests: dedup family, similarity search, text analysis —
+brute-force sequential oracles on seeded synthetic corpora."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from fairy_core_ray.stages import dedup as dd
+from fairy_core_ray.stages import knn as knn_mod
+from fairy_core_ray.stages import text_stages as ts
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    """60 docs; 0/1 near-dup (one word changed), 10/11 exact dup,
+    20/21 near-dup (suffix added), rest random word salad."""
+    rng = np.random.default_rng(5)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    texts = [
+        " ".join(rng.choice(vocab, size=30).tolist()) for _ in range(60)
+    ]
+    texts[1] = texts[0].replace(texts[0].split()[5], "OMEGA", 1)
+    texts[11] = texts[10]
+    texts[21] = texts[20] + " extra tail words"
+    return pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "text": texts})
+
+
+def brute_jaccard_pairs(df, k, threshold):
+    sets = {
+        int(r.doc_id): set(dd.char_shingles_u64(r.text, k).tolist())
+        for r in df.itertuples()
+    }
+    out = []
+    ids = sorted(sets)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            jac = dd.jaccard(sets[ids[i]], sets[ids[j]])
+            if jac >= threshold:
+                out.append((ids[i], ids[j], jac))
+    return out
+
+
+class TestMinHash:
+    def test_signature_estimates_jaccard(self):
+        a = dd.char_shingles_u64("the quick brown fox jumps over the lazy dog", 5)
+        b = dd.char_shingles_u64("the quick brown fox jumped over the lazy dog", 5)
+        true_j = dd.jaccard(set(a.tolist()), set(b.tolist()))
+        sa = dd.minhash_signature(a, 256)
+        sb = dd.minhash_signature(b, 256)
+        est = (sa == sb).mean()
+        assert abs(est - true_j) < 0.15
+
+    def test_lsh_finds_seeded_dups(self, corpus):
+        ds = rd.from_pandas(corpus)
+        pairs = dd.minhash_lsh_pairs(ds, threshold=0.5)
+        found = set(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
+        assert (0, 1) in found
+        assert (10, 11) in found
+        assert (20, 21) in found
+        # every reported jaccard is the exact brute-force value
+        want = {(a, b): j for a, b, j in brute_jaccard_pairs(corpus, 5, 0.5)}
+        for r in pairs.itertuples():
+            assert (int(r.id_a), int(r.id_b)) in want
+            assert abs(r.jaccard - want[(int(r.id_a), int(r.id_b))]) < 1e-12
+
+    def test_exact_dup_jaccard_1(self, corpus):
+        ds = rd.from_pandas(corpus)
+        pairs = dd.minhash_lsh_pairs(ds, threshold=0.5)
+        row = pairs[(pairs["id_a"] == 10) & (pairs["id_b"] == 11)]
+        assert len(row) == 1 and row["jaccard"].iloc[0] == 1.0
+
+
+class TestSimHash:
+    def test_identical_and_near(self, corpus):
+        sh = dd.simhash64(corpus["text"])
+        assert sh[10] == sh[11]  # identical text -> identical simhash
+        from fairy_core_ray.functions.hashing import hamming64
+
+        near = hamming64(sh[20:21].astype(np.int64), sh[21:22].astype(np.int64))[0]
+        assert near <= 10  # suffix addition moves few bits
+
+    def test_pairs_include_exact_dup(self, corpus):
+        ds = rd.from_pandas(corpus)
+        pairs = dd.simhash_pairs(ds, max_hamming=3)
+        found = set(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
+        assert (10, 11) in found
+        assert (pairs["hamming"] <= 3).all()
+
+    def test_matches_bruteforce(self, corpus):
+        from fairy_core_ray.functions.hashing import hamming64
+
+        ds = rd.from_pandas(corpus)
+        pairs = dd.simhash_pairs(ds, max_hamming=3)
+        sh = dd.simhash64(corpus["text"]).astype(np.int64)
+        want = set()
+        for i in range(len(sh)):
+            for j in range(i + 1, len(sh)):
+                if hamming64(sh[i : i + 1], sh[j : j + 1])[0] <= 3:
+                    want.add((i, j))
+        got = set(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
+        # banding guarantees recall for hamming<=3 (4 bands of 16 bits)
+        assert got == want
+
+
+class TestNgramJaccard:
+    def test_finds_near_dups(self, corpus):
+        ds = rd.from_pandas(corpus)
+        pairs = dd.ngram_jaccard_pairs(ds, n=3, threshold=0.5, max_posting=60)
+        found = set(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
+        assert (10, 11) in found
+        assert (20, 21) in found
+
+
+class TestKeepFirst:
+    def test_no_duplicates_regression(self):
+        df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]})
+        ds = rd.from_pandas(df)
+        out = dd.keep_first(
+            ds,
+            key_fn=lambda t: t["text"].combine_chunks() if hasattr(t["text"], "combine_chunks") else t["text"],
+            order_col="doc_id",
+        ).to_pandas()
+        assert out["dup_first"].all()
+
+    def test_keep_first_marks_min(self):
+        df = pd.DataFrame({"doc_id": [5, 3, 9, 7], "text": ["x", "x", "y", "x"]})
+        ds = rd.from_pandas(df)
+        out = (
+            dd.keep_first(
+                ds,
+                key_fn=lambda t: t["text"].combine_chunks() if hasattr(t["text"], "combine_chunks") else t["text"],
+                order_col="doc_id",
+            )
+            .to_pandas()
+            .set_index("doc_id")["dup_first"]
+        )
+        assert out[3] and not out[5] and not out[7] and out[9]
+
+
+class TestCosineKnn:
+    @pytest.fixture(scope="class")
+    def vecs(self):
+        rng = np.random.default_rng(11)
+        X = rng.standard_normal((300, 32))
+        return pd.DataFrame(
+            {"vec_id": np.arange(300, dtype=np.int64), "embedding": list(X)}
+        )
+
+    def test_exact_matches_numpy(self, vecs):
+        ds = rd.from_pandas(vecs)
+        Q = np.stack(vecs["embedding"].iloc[:3].to_numpy())
+        out = knn_mod.cosine_topk(ds, Q, [0, 1, 2], k=4)
+        X = np.stack(vecs["embedding"].to_numpy())
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = Xn[:3] @ Xn.T
+        for qi in range(3):
+            s = S[qi].copy()
+            s[qi] = -2
+            want = np.argsort(-s, kind="stable")[:4]
+            got = out[out["query_id"] == qi]["neighbor_id"].to_numpy()
+            assert set(got) == set(want)
+
+    def test_lsh_recall(self, vecs):
+        ds = rd.from_pandas(vecs)
+        Q = np.stack(vecs["embedding"].iloc[:5].to_numpy())
+        exact = knn_mod.cosine_topk(ds, Q, list(range(5)), k=5)
+        approx = knn_mod.lsh_cosine_ann(ds, Q, list(range(5)), k=5, n_tables=16, n_planes=6)
+        e = set(zip(exact["query_id"], exact["neighbor_id"]))
+        a = set(zip(approx["query_id"], approx["neighbor_id"]))
+        assert len(e & a) / len(e) >= 0.6  # recall floor for 16x6 config
+
+    def test_hamming_topk(self):
+        ph = np.array([0b0, 0b1, 0b11, 0b111, 0b1111], dtype=np.int64)
+        df = pd.DataFrame({"pid": np.arange(5, dtype=np.int64), "phash": ph})
+        ds = rd.from_pandas(df)
+        out = knn_mod.hamming_topk(ds, [0], phash_col="phash", id_col="pid", k=3)
+        assert out["neighbor_id"].tolist() == [0, 1, 2]
+        assert out["hamming"].tolist() == [0, 1, 2]
+
+
+class TestText:
+    def test_token_count_edges(self):
+        s = pd.Series(["a b  c", "", "   ", None, "one"])
+        assert ts.token_count(s).tolist() == [3, 0, 0, 0, 1]
+
+    def test_langid_english(self):
+        lid = ts.LangId()
+        langs, scores = lid.predict(
+            pd.Series(["the quick brown fox and the lazy dog went to the market of things"])
+        )
+        assert langs[0] == "en" and scores[0] > 0
+
+    def test_fingerprint_deterministic_and_sensitive(self):
+        s = pd.Series(["hello world this is a document", "a completely different sentence"])
+        f1 = ts.rolling_fingerprint(s)
+        f2 = ts.rolling_fingerprint(s)
+        assert f1 == f2
+        assert f1[0] != f1[1]
+        # identical docs share the fingerprint
+        same = ts.rolling_fingerprint(pd.Series([s[0], s[0]]))
+        assert same[0] == same[1]
+
+    def test_quality_score_range(self):
+        feats = ts.quality_features(pd.Series(["good plain text with words here"] * 3))
+        q = ts.quality_score(feats)
+        assert ((q >= 0) & (q <= 1)).all()
