@@ -1,0 +1,177 @@
+"""Benchmark harness: headline flagship pipeline + representative queries.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "images": n,
+   "images_per_sec": r}
+
+--scaling: runs the headline twice in fresh processes at num_cpus=8 and
+32 on the same input and reports both throughputs + scaling efficiency
+(the sandbox proxy for the north rule's N vs 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def headline(sf_dir: str, ncpus: int) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=ncpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from fairy_core_ray.pipelines.flagship import (
+        flagship,
+        tile_stats_from_assignments,
+    )
+    from fairy_core_ray.sources.synth import ensure_image_dataset
+
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    # 1200 images per document row ≈ 6M images at sf0.1 — sized so compute
+    # dominates the fixed ~6 s of scheduling/driver-fold overhead and the
+    # 8→32 CPU scaling efficiency reflects the pipeline itself
+    n_images = 1200 * n_docs
+    path = ensure_image_dataset(n_images, seed=42)  # cached; untimed
+
+    # warm the page cache so we measure compute+shuffle, not first disk
+    # read — a real scan of every byte (count() alone is metadata-only)
+    import glob
+
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+    from fairy_core_ray.sources.synth import default_scratch_root
+    out_dir = os.path.join(default_scratch_root(), f"fairy_bench/assign_n{n_images}_c{ncpus}")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    res = flagship(path)
+    res["assignments"].write_parquet(out_dir)
+    stats = tile_stats_from_assignments(out_dir).to_pandas()
+    dt = time.time() - t0
+    return {
+        "sec": dt,
+        "images": n_images,
+        "images_per_sec": n_images / dt,
+        "tiles": len(stats),
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    from fairy_core_ray.pipelines.queries import QUERIES
+
+    names = [
+        "tpch_q1",
+        "events_hourly",
+        "geo_cell_hist",
+        "geo_pip",
+        "geo_knn",
+        "dedup_exact_md5",
+        "embed_knn",
+        "token_stats",
+        "minhash_pairs",
+        "simhash_pairs",
+        "group_incomplete",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = QUERIES[name](sf_dir)
+        # consume
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def child_headline(ncpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpus), GRAFT_SF_DIR=sf_dir,
+               GRAFT_BENCH_HEADLINE_ONLY="1")
+    last_err = None
+    for _attempt in range(2):  # ray.init right after a prior session's
+        try:                   # teardown occasionally hangs; retry once
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True,
+                text=True,
+                check=True,
+                timeout=900,
+                env=env,
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            last_err = e
+            time.sleep(5)
+    raise RuntimeError(f"child bench failed twice: {last_err}")
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = child_headline(lo, sf_dir)
+        r_hi = child_headline(hi, sf_dir)
+        eff = (r_hi["images_per_sec"] / r_lo["images_per_sec"]) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "flagship images/sec scaling",
+                    "sec_8": r_lo["value"],
+                    "sec_32": r_hi["value"],
+                    "images_per_sec_8": round(r_lo["images_per_sec"], 1),
+                    "images_per_sec_32": round(r_hi["images_per_sec"], 1),
+                    "scaling_efficiency": round(eff, 3),
+                    "sf": sf_dir,
+                }
+            )
+        )
+        return
+
+    import ray
+
+    h = headline(sf_dir, ncpus)
+    queries = (
+        {} if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else run_queries(sf_dir)
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "flagship validate->decode->dedup->cell->PIP->tile-assign wall sec",
+                "value": round(h["sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_dir,
+                "num_cpus": ncpus,
+                "images": h["images"],
+                "images_per_sec": round(h["images_per_sec"], 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

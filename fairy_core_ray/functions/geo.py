@@ -132,16 +132,38 @@ class GridIndex:
                     buckets.setdefault((gx, gy), []).append(i)
         self.buckets = buckets
 
+    # Below this polygon count, a per-polygon bbox mask over ALL points
+    # beats bucket grouping: the bucket loop costs Python-per-bucket,
+    # the mask path costs one vectorized sweep per polygon.
+    SMALL_POLYSET = 512
+
     def query_batch(
         self, px: np.ndarray, py: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:
         """All (point_index, polygon_index) containment pairs for a batch.
 
-        Groups points by grid bucket, then runs the vectorized PIP kernel
-        once per (bucket-candidate polygon) over that bucket's points.
+        Small polygon sets: one vectorized bbox-mask + PIP sweep per
+        polygon. Large sets: group points by grid bucket and test only
+        that bucket's candidate polygons.
         """
         px = np.asarray(px, np.float64)
         py = np.asarray(py, np.float64)
+        if len(self.polys) <= self.SMALL_POLYSET:
+            out_pts: list[np.ndarray] = []
+            out_polys: list[np.ndarray] = []
+            for pi, (tid, xs, ys) in enumerate(self.polys):
+                bb = self.bboxes[pi]
+                near = (px >= bb[0]) & (px <= bb[2]) & (py >= bb[1]) & (py <= bb[3])
+                sub = np.flatnonzero(near)
+                if not len(sub):
+                    continue
+                hit = points_in_polygon(px[sub], py[sub], xs, ys)
+                if hit.any():
+                    out_pts.append(sub[hit])
+                    out_polys.append(np.full(int(hit.sum()), pi, np.int64))
+            if not out_pts:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            return np.concatenate(out_pts), np.concatenate(out_polys)
         gx = np.floor((px - self.x0) / self.dx).astype(np.int64)
         gy = np.floor((py - self.y0) / self.dy).astype(np.int64)
         inside_grid = (gx >= 0) & (gx < self.nx) & (gy >= 0) & (gy < self.ny)

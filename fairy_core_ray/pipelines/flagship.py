@@ -28,14 +28,149 @@ import ray
 import ray.data as rd
 
 from fairy_core_ray.sources.synth import tile_polygons
-from fairy_core_ray.stages.geo_stages import PipJoiner, add_cells, add_footprints
-from fairy_core_ray.stages.validate_images import (
-    DecodeValidator,
-    conjunction,
-    validate_batch,
+from fairy_core_ray.stages.geo_stages import (
+    PipJoiner,
+    add_cells,
+    add_footprints,
+    image_index_from_ids,
 )
+from fairy_core_ray.stages.validate_images import ValidateDecodeStage
 
 ASSIGNMENT_COLUMNS = ["image_id", "phash", "cell", "tile_id", "valid"]
+
+
+# Above this row count the dup-key scan switches from a driver-side numpy
+# pass (two int64 columns) to the distributed groupby aggregate — the
+# same strategy switch a real cluster deployment would make on the
+# broadcast side of a semi-join. The scan is overlapped with the
+# pipeline ramp via _BroadcastOnce, so the driver path costs no serial
+# wall time at bench scale.
+DRIVER_DEDUP_MAX_ROWS = 50_000_000
+
+
+def _dup_keys(images_path: str) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted duplicated phashes, keep-img_idx per key). Keys with a
+    single occurrence are dropped — the broadcast side stays tiny."""
+    import pyarrow.dataset as pads
+
+    pds = pads.dataset(images_path, format="parquet")
+    if pds.count_rows() <= DRIVER_DEDUP_MAX_ROWS:
+        t = pds.to_table(columns=["image_id", "phash"])
+        from fairy_core_ray.stages.geo_stages import image_index_from_ids
+
+        idx = image_index_from_ids(t)
+        ph = t["phash"].to_numpy()
+        order = np.lexsort((idx, ph))
+        ph_s, idx_s = ph[order], idx[order]
+        # group boundaries over the sorted keys
+        starts = np.flatnonzero(np.r_[True, ph_s[1:] != ph_s[:-1]])
+        counts = np.diff(np.r_[starts, len(ph_s)])
+        dup = counts > 1
+        return ph_s[starts[dup]], idx_s[starts[dup]]  # idx_s sorted within group
+
+    from fairy_core_ray.stages.geo_stages import image_index_from_ids
+
+    def add_idx(t: pa.Table) -> pa.Table:
+        return t.append_column("img_idx", pa.array(image_index_from_ids(t), pa.int64()))
+
+    dup_pdf = (
+        rd.read_parquet(images_path, columns=["image_id", "phash"])
+        .map_batches(add_idx, batch_format="pyarrow")
+        .select_columns(["phash", "img_idx"])
+        .groupby("phash")
+        .aggregate(
+            rd.aggregate.Min("img_idx", alias_name="keep_idx"),
+            rd.aggregate.Count(alias_name="n"),
+        )
+        .filter(expr="n > 1")
+        .to_pandas()
+    )
+    if "phash" not in dup_pdf.columns or not len(dup_pdf):
+        return np.array([], np.int64), np.array([], np.int64)
+    order = np.argsort(dup_pdf["phash"].to_numpy())
+    return dup_pdf["phash"].to_numpy()[order], dup_pdf["keep_idx"].to_numpy()[order]
+
+
+def _total_cpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
+
+
+def _decode_pool() -> int:
+    """Fixed-size decode pool: 5/8 of the CPUs. Fixed (min==max) because
+    autoscaling ramp costs more than idle actors on short runs; the
+    remainder is left for the read/write tasks and the geo pool so no
+    stage starves (summed pool sizes stay well under the CPU count)."""
+    return max(2, _total_cpus() * 5 // 8)
+
+
+def _geo_pool() -> int:
+    """Geo/PIP pool: ~1/4 of CPUs; with the vectorized PIP fast path the
+    stage is ~2 µs/row, so even a 1-actor pool (tiny sessions) keeps up.
+    Floor of 1 keeps decode+geo strictly under the CPU count — a summed
+    fixed-pool demand equal to the CPUs deadlocks the read stage."""
+    return max(1, _total_cpus() // 4)
+
+
+@ray.remote(num_cpus=0, max_concurrency=8)
+class _BroadcastOnce:
+    """One-shot broadcast cell: lets a driver thread publish a value
+    (e.g. the dup-key arrays) while the pipeline's upstream stages are
+    already streaming; consumer actors block in __init__ until ready."""
+
+    def __init__(self):
+        import threading
+
+        self._evt = threading.Event()
+        self._val = None
+
+    def put(self, v):
+        self._val = v
+        self._evt.set()
+
+    def get(self):
+        self._evt.wait()
+        return self._val
+
+
+class GeoAssignStage:
+    """Fused actor stage: keep-first dup marking (broadcast dup-key
+    arrays), footprint derivation, cell encoding, and the PIP join with
+    a per-actor spatial index — one operator over payload-free blocks.
+
+    The dup-key and polygon small sides are ``ray.put`` once on the
+    driver and fetched once per actor in ``__init__`` (never re-shipped
+    per batch)."""
+
+    def __init__(self, keep_ref, polys_ref, seed: int = 42):
+        if isinstance(keep_ref, ray.actor.ActorHandle):
+            self.dup_ph, self.dup_keep = ray.get(keep_ref.get.remote())
+        else:
+            self.dup_ph, self.dup_keep = ray.get(keep_ref)
+        self.pip = PipJoiner(polys_ref)
+        self.seed = seed
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        idx = image_index_from_ids(t)
+        first = np.ones(len(t), dtype=bool)
+        if len(self.dup_ph):
+            ph = t["phash"].to_numpy()
+            pos = np.searchsorted(self.dup_ph, ph)
+            pos_c = np.minimum(pos, max(len(self.dup_ph) - 1, 0))
+            member = self.dup_ph[pos_c] == ph
+            first = ~(member & (idx != self.dup_keep[pos_c]))
+        t = t.append_column("dup_first", pa.array(first, pa.bool_()))
+        t = add_footprints(t, self.seed)
+        t = add_cells(t)
+        t = self.pip(t)
+        keep = ASSIGNMENT_COLUMNS + ["dup_first"] + [
+            c
+            for c in ("mean_r", "mean_g", "mean_b", "content_hash")
+            if c in t.column_names
+        ]
+        return t.select(keep)
 
 
 def mark_first_per_phash(ds: rd.Dataset, images_path: str) -> rd.Dataset:
@@ -62,21 +197,7 @@ def mark_first_per_phash(ds: rd.Dataset, images_path: str) -> rd.Dataset:
         return t.append_column("img_idx", pa.array(image_index_from_ids(t), pa.int64()))
 
     ds = ds.map_batches(add_idx, batch_format="pyarrow")
-    dup_keys = (
-        rd.read_parquet(images_path, columns=["image_id", "phash"])
-        .map_batches(add_idx, batch_format="pyarrow")
-        .select_columns(["phash", "img_idx"])
-        .groupby("phash")
-        .aggregate(
-            rd.aggregate.Min("img_idx", alias_name="keep_idx"),
-            rd.aggregate.Count(alias_name="n"),
-        )
-    )
-    dup_pdf = dup_keys.filter(expr="n > 1").to_pandas()  # only duplicated keys
-    order = np.argsort(dup_pdf["phash"].to_numpy()) if len(dup_pdf) else np.array([], int)
-    dup_ph = dup_pdf["phash"].to_numpy()[order]
-    dup_keep = dup_pdf["keep_idx"].to_numpy()[order]
-    keep_ref = ray.put((dup_ph, dup_keep))
+    keep_ref = ray.put(_dup_keys(images_path))
 
     class MarkFirst:
         def __init__(self, ref):
@@ -101,29 +222,59 @@ def mark_first_per_phash(ds: rd.Dataset, images_path: str) -> rd.Dataset:
     )
 
 
+# Per-worker-process stage cache: task-based stages get the same
+# init-once amortization as actor pools (Ray reuses worker processes),
+# while staying FUSIBLE with the read stage — the fused
+# ReadParquet->decode task never puts payload bytes into the object
+# store, which is otherwise a non-scaling serial floor (~1-2 GB/s
+# through plasma regardless of CPU count).
+_STAGE_CACHE: dict = {}
+
+
+def _cached_stage(key, factory):
+    st = _STAGE_CACHE.get(key)
+    if st is None:
+        st = _STAGE_CACHE[key] = factory()
+    return st
+
+
 def validated_images(
     images_path: str,
     *,
     decode: bool = True,
     header_only: bool = False,
-    decode_concurrency: int | tuple[int, int] = (1, 8),
+    decode_concurrency: int | tuple[int, int] | None = None,
+    use_actor_pool: bool = False,
     seed: int = 42,
 ) -> rd.Dataset:
-    """read → stateless rules → decode actor pool → drop bytes → valid flag."""
+    """read → fused [rules + decode + valid + drop bytes] stage.
+
+    Default: a task-based stage that FUSES with the parquet read — the
+    wide binary column never crosses an operator boundary. The actor-pool
+    variant (``use_actor_pool=True``) exists for codecs with expensive
+    per-actor setup that must pin resources; with fusion-compatible
+    per-process caching the task form is strictly better here."""
     ds = rd.read_parquet(images_path)
-    ds = ds.map_batches(validate_batch, batch_format="pyarrow")
-    if decode:
-        ds = ds.map_batches(
-            DecodeValidator,
-            fn_constructor_kwargs={"header_only": header_only},
+    if use_actor_pool:
+        return ds.map_batches(
+            ValidateDecodeStage,
+            fn_constructor_kwargs={"decode": decode, "header_only": header_only},
             batch_format="pyarrow",
-            batch_size=1024,  # pixels materialize here; keep batches modest
-            concurrency=decode_concurrency,
+            batch_size=2048,  # pixels materialize here; keep batches modest
+            concurrency=decode_concurrency or _decode_pool(),
+            zero_copy_batch=True,
         )
-    ds = ds.map_batches(conjunction, batch_format="pyarrow")
-    # project the wide binary column away before any shuffle; drop by name
-    # (calling ds.schema() here would trigger a partial pipeline execution)
-    return ds.drop_columns(["bytes"])
+
+    def run(batch: pa.Table) -> pa.Table:
+        stage = _cached_stage(
+            ("vd", decode, header_only),
+            lambda: ValidateDecodeStage(decode=decode, header_only=header_only),
+        )
+        return stage(batch)
+
+    return ds.map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def flagship(
@@ -143,23 +294,36 @@ def flagship(
     ds = validated_images(
         images_path, decode=decode, header_only=header_only, seed=seed
     )
-    if dedup:
-        ds = mark_first_per_phash(ds, images_path)
-    else:
-        ds = ds.map_batches(
-            lambda t: t.append_column("dup_first", pa.array(np.ones(len(t), bool))),
-            batch_format="pyarrow",
-        )
-    ds = ds.map_batches(lambda t: add_footprints(t, seed), batch_format="pyarrow")
-    ds = ds.map_batches(add_cells, batch_format="pyarrow")
+    # dup-key scan runs in a driver thread, published through a broadcast
+    # actor — it overlaps with the read/decode ramp instead of serially
+    # preceding the pipeline
+    bc = _BroadcastOnce.remote()
 
+    def _publish():
+        keys = (
+            _dup_keys(images_path)
+            if dedup
+            else (np.array([], np.int64), np.array([], np.int64))
+        )
+        bc.put.remote(keys)
+
+    import threading
+
+    threading.Thread(target=_publish, daemon=True).start()
     polys_ref = ray.put(tile_polygons())
+
+    def geo_run(batch: pa.Table) -> pa.Table:
+        # per-process cached (broadcast sides fetched once per worker);
+        # task form fuses with the decode stage upstream
+        stage = _cached_stage(
+            ("geo", bc._actor_id.hex(), polys_ref.hex(), seed),
+            lambda: GeoAssignStage(bc, polys_ref, seed=seed),
+        )
+        return stage(batch)
+
     assignments = ds.map_batches(
-        PipJoiner,
-        fn_constructor_kwargs={"polys_ref": polys_ref},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    ).select_columns(ASSIGNMENT_COLUMNS + ["dup_first"])
+        geo_run, batch_format="pyarrow", zero_copy_batch=True
+    )
 
     partial_schema = pa.schema(
         [("cell", pa.int64()), ("tile_id", pa.string()), ("partial_n", pa.int64())]
@@ -184,3 +348,44 @@ def flagship(
         .sort("n_images", descending=True)
     )
     return {"assignments": assignments, "tile_stats": tile_stats}
+
+
+def tile_stats_from_assignments(assignments_path: str) -> rd.Dataset:
+    """Tile stats recomputed from a written assignments parquet — lets a
+    consumer that already wrote assignments avoid re-executing the whole
+    pipeline for the stats aggregate."""
+    partial_schema = pa.schema(
+        [("cell", pa.int64()), ("tile_id", pa.string()), ("partial_n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["valid"] & df["dup_first"] & df["tile_id"].notna()]
+        out = (
+            df.groupby(["cell", "tile_id"], sort=False)
+            .size()
+            .rename("partial_n")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(partial_schema)
+
+    partials = rd.read_parquet(
+        assignments_path, columns=["cell", "tile_id", "valid", "dup_first"]
+    ).map_batches(partial, batch_format="pyarrow")
+    # final fold on the driver: the partial stream is bounded by
+    # (#cells × #tiles) per block, so the combine is tiny — no shuffle
+    frames = [
+        b for b in partials.iter_batches(batch_size=None, batch_format="pandas")
+    ]
+    import pandas as pd
+
+    merged = (
+        pd.concat(frames, ignore_index=True)
+        .groupby(["cell", "tile_id"], sort=False)["partial_n"]
+        .sum()
+        .rename("n_images")
+        .reset_index()
+        .sort_values("n_images", ascending=False, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return rd.from_pandas(merged)

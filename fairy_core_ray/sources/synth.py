@@ -159,14 +159,24 @@ def image_table(n: int, seed: int = 42) -> pa.Table:
     return gen_images_batch(np.arange(n, dtype=np.int64), seed)
 
 
+def default_scratch_root() -> str:
+    """Prefer /dev/shm (RAM-backed, no disk I/O variance) for the
+    synthetic corpus and bench outputs; fall back to the tmp dir."""
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return shm
+    return tempfile.gettempdir()
+
+
 def ensure_image_dataset(n: int, seed: int = 42, root: str | None = None) -> str:
     """Materialize the n-row flagship table as partitioned parquet under
-    /tmp (atomic rename so concurrent callers are safe); return the dir.
+    the scratch root (atomic rename so concurrent callers are safe);
+    return the dir.
 
     Generation itself streams through Ray (range -> map_batches -> write),
     so this scales to arbitrary n without driver memory.
     """
-    root = root or os.path.join(tempfile.gettempdir(), "fairy_images")
+    root = root or os.path.join(default_scratch_root(), "fairy_images")
     out = os.path.join(root, f"n{n}_s{seed}")
     if os.path.isdir(out) and os.listdir(out):
         return out
@@ -174,15 +184,19 @@ def ensure_image_dataset(n: int, seed: int = 42, root: str | None = None) -> str
 
     os.makedirs(root, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix=f"n{n}_s{seed}.", dir=root)
-    num_blocks = max(1, min(64, n // 8192))
+    # block sizing: ~8k rows/block (≈35 MB of encoded payloads) keeps task
+    # counts low at bench scale while staying well under worker heap
+    num_blocks = max(1, min(256, n // 8192))
 
     def _gen(batch: pa.Table) -> pa.Table:
         return gen_images_batch(batch["id"].to_numpy(), seed)
 
     (
         rd.range(n, override_num_blocks=num_blocks)
-        .map_batches(_gen, batch_format="pyarrow", batch_size=4096)
-        .write_parquet(tmp)
+        .map_batches(_gen, batch_format="pyarrow", batch_size=8192)
+        # payloads are already zlib-compressed by the codec; parquet-level
+        # recompression would double the read-side decompress cost
+        .write_parquet(tmp, row_group_size=8192, compression="none")
     )
     try:
         os.rename(tmp, out)

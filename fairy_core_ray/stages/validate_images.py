@@ -77,21 +77,29 @@ class DecodeValidator:
     is the stub in functions/codecs.py.
     """
 
-    def __init__(self, header_only: bool = False):
+    def __init__(self, header_only: bool = False, features: bool = True):
         # Real codecs would be loaded here once per actor (Pillow import,
         # decoder contexts). header_only skips full pixel decode and
         # checks magic + declared dims only — the cheap screening mode.
+        # features=True also emits per-image channel means and a
+        # pixel-derived content hash (the multimodal feature-extraction
+        # stage every training pipeline runs on decode output).
         self.header_only = header_only
+        self.features = features
         self.fmt_by_magic = FMT_BY_MAGIC
         self.lossy = LOSSY_FMTS
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         payloads = batch["bytes"].to_pylist()
         w = batch["w"].to_pylist()
         h = batch["h"].to_pylist()
         n = len(payloads)
         decode_ok = [False] * n
         dims_match = [False] * n
+        mean_rgb = np.zeros((n, 3), dtype=np.float32)
+        content_hash = np.zeros(n, dtype=np.int64)
         for i, payload in enumerate(payloads):
             if payload is None:
                 continue
@@ -108,8 +116,48 @@ class DecodeValidator:
                 continue
             decode_ok[i] = True
             dims_match[i] = pixels.shape[0] == h[i] and pixels.shape[1] == w[i]
+            if self.features:
+                mean_rgb[i] = pixels.reshape(-1, 3).mean(axis=0)
+                # 64-bit content hash over the pixel buffer (xxhash-style
+                # chunked fold, vectorized) — feeds near-dup verification
+                flat = np.frombuffer(
+                    pixels.tobytes()[: (pixels.size // 8) * 8], dtype=np.uint64
+                )
+                if len(flat):
+                    with np.errstate(over="ignore"):
+                        acc = (flat * np.uint64(0x9E3779B97F4A7C15)).sum()
+                    content_hash[i] = np.int64(acc >> np.uint64(1))
         batch = batch.append_column("ok_decode_ok", pa.array(decode_ok, pa.bool_()))
         batch = batch.append_column("ok_dims_match", pa.array(dims_match, pa.bool_()))
+        if self.features and not self.header_only:
+            batch = batch.append_column(
+                "mean_r", pa.array(mean_rgb[:, 0], pa.float32())
+            ).append_column(
+                "mean_g", pa.array(mean_rgb[:, 1], pa.float32())
+            ).append_column(
+                "mean_b", pa.array(mean_rgb[:, 2], pa.float32())
+            ).append_column("content_hash", pa.array(content_hash, pa.int64()))
+        return batch
+
+
+class ValidateDecodeStage:
+    """Fused actor stage: stateless rules + decode + valid conjunction +
+    ``bytes`` projection in ONE operator, so the wide binary column
+    crosses exactly one operator boundary (read → this stage) and never
+    enters the object store again (SURVEY.md §7.4 hard part 4)."""
+
+    def __init__(self, decode: bool = True, header_only: bool = False,
+                 drop_bytes: bool = True):
+        self.decoder = DecodeValidator(header_only) if decode else None
+        self.drop_bytes = drop_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = validate_batch(batch)
+        if self.decoder is not None:
+            batch = self.decoder(batch)
+        batch = conjunction(batch)
+        if self.drop_bytes:
+            batch = batch.drop(["bytes"])
         return batch
 
 
