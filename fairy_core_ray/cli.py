@@ -1,0 +1,166 @@
+"""CLI entry points, mirroring the reference's command surface
+(/root/reference/src/fairy/cli): validate (rulepack over inputs),
+preflight (GEO profile), tile (flagship resumable tiled output).
+
+Usage:
+  python -m fairy_core_ray.cli validate --rulepack RP --inputs name=path ... [--out-dir D]
+  python -m fairy_core_ray.cli preflight --rulepack RP --samples S --files F [--out-dir D]
+  python -m fairy_core_ray.cli tile --images DIR --out DIR [--target-rows N]
+
+Exit code 0 iff no FAIL findings (validate/preflight), mirroring the
+reference's submission_ready gating (cli/validate.py:128,
+cmd_preflight.py:358).
+
+Owns its Ray session (scripts own ray.init; the driver contract in
+__ray_entry__ never does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from datetime import datetime, timezone
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_validate(args) -> int:
+    _init_ray()
+    from fairy_core_ray.engine import run_rulepack
+    from fairy_core_ray.rulepack import load_rulepack
+    from fairy_core_ray.state.markdown import write_markdown
+
+    inputs = {}
+    for spec in args.inputs:
+        name, _, path = spec.partition("=")
+        if not path:
+            name, path = os.path.splitext(os.path.basename(spec))[0], spec
+        inputs[name] = path
+    now = (
+        os.environ.get("FAIRY_FIXED_TIMESTAMP")
+        or datetime.now(timezone.utc).replace(microsecond=0).isoformat().replace("+00:00", "Z")
+    )
+    report = run_rulepack(inputs, load_rulepack(args.rulepack), args.rulepack, now)
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+        with open(os.path.join(args.out_dir, "validate_report.json"), "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+        with open(os.path.join(args.out_dir, "validate_report.md"), "w") as f:
+            f.write(write_markdown(report))
+    s = report["summary"]
+    print(f"PASS={s['pass']} WARN={s['warn']} FAIL={s['fail']}")
+    return 1 if s["fail"] > 0 else 0
+
+
+def cmd_preflight(args) -> int:
+    _init_ray()
+    from fairy_core_ray.preflight import run_preflight
+    from fairy_core_ray.state.manifest import build_manifest_v1, now_utc_iso_z
+    from fairy_core_ray.state.provenance import sha256_file
+
+    report = run_preflight(args.rulepack, args.samples, args.files)
+    ready = report["summary"]["submission_ready"]
+    if args.out_dir:
+        os.makedirs(os.path.join(args.out_dir, "artifacts"), exist_ok=True)
+        rp_json = os.path.join(args.out_dir, "preflight_report.json")
+        with open(rp_json, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+        manifest = build_manifest_v1(
+            dataset_id=report["dataset_id"],
+            fairy_version=report["engine"]["fairy_core_version"],
+            source_report="preflight_report.json",
+            rulepack_id=report["metadata"]["rulepack"]["id"],
+            rulepack_version=report["metadata"]["rulepack"]["version"],
+            files=[
+                {
+                    "path": "preflight_report.json",
+                    "sha256": sha256_file(rp_json),
+                }
+            ],
+            created_at_utc=now_utc_iso_z(),
+        )
+        with open(os.path.join(args.out_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        inputs_manifest = {
+            "schema_version": "inputs-manifest/v0",
+            "inputs": [
+                {"name": name, "path": meta["path"], "sha256": meta["sha256"]}
+                for name, meta in sorted(report["metadata"]["inputs"].items())
+            ],
+        }
+        with open(
+            os.path.join(args.out_dir, "artifacts", "inputs_manifest.json"), "w"
+        ) as f:
+            json.dump(inputs_manifest, f, indent=2, sort_keys=True)
+    lv = report["summary"]["by_level"]
+    print(f"pass={lv['pass']} warn={lv['warn']} fail={lv['fail']} ready={ready}")
+    return 0 if ready else 1
+
+
+def cmd_tile(args) -> int:
+    _init_ray()
+    from fairy_core_ray.pipelines.tiling import write_tiled
+
+    res = write_tiled(
+        args.images,
+        args.out,
+        seed=args.seed,
+        coarse_res=args.coarse_res,
+        target_rows=args.target_rows,
+        decode=not args.no_decode,
+    )
+    print(json.dumps(res))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="fairy-core-ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate")
+    v.add_argument("--rulepack", required=True)
+    v.add_argument("--inputs", nargs="+", required=True, help="name=path pairs")
+    v.add_argument("--out-dir")
+
+    f = sub.add_parser("preflight")
+    f.add_argument("--rulepack", required=True)
+    f.add_argument("--samples", required=True)
+    f.add_argument("--files", required=True)
+    f.add_argument("--out-dir")
+
+    t = sub.add_parser("tile")
+    t.add_argument("--images", required=True)
+    t.add_argument("--out", required=True)
+    t.add_argument("--seed", type=int, default=42)
+    t.add_argument("--coarse-res", type=int, default=9)
+    t.add_argument("--target-rows", type=int, default=250_000)
+    t.add_argument("--no-decode", action="store_true")
+
+    args = p.parse_args(argv)
+    rc = {"validate": cmd_validate, "preflight": cmd_preflight, "tile": cmd_tile}[
+        args.cmd
+    ](args)
+    import ray
+
+    ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

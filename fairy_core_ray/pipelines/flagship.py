@@ -114,24 +114,29 @@ def _geo_pool() -> int:
     return max(1, _total_cpus() // 4)
 
 
-@ray.remote(num_cpus=0, max_concurrency=8)
+@ray.remote(num_cpus=0)
 class _BroadcastOnce:
     """One-shot broadcast cell: lets a driver thread publish a value
     (e.g. the dup-key arrays) while the pipeline's upstream stages are
-    already streaming; consumer actors block in __init__ until ready."""
+    already streaming; consumers await ``get`` until it's published.
+
+    Async actor on purpose: any number of pending ``get`` calls await
+    the event without occupying concurrency slots — a threaded actor
+    with N blocking getters deadlocks the ``put`` once N reaches the
+    actor's max_concurrency (seen live with 8 fused read tasks)."""
 
     def __init__(self):
-        import threading
+        import asyncio
 
-        self._evt = threading.Event()
+        self._evt = asyncio.Event()
         self._val = None
 
-    def put(self, v):
+    async def put(self, v):
         self._val = v
         self._evt.set()
 
-    def get(self):
-        self._evt.wait()
+    async def get(self):
+        await self._evt.wait()
         return self._val
 
 
