@@ -30,6 +30,9 @@ def headline(sf_dir: str, ncpus: int) -> dict:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # the fused pipeline keeps payloads out of the object store;
+            # a small store leaves /dev/shm to the corpus + page cache
+            object_store_memory=8 << 30,
         )
     from ray.data import DataContext
 
@@ -45,10 +48,10 @@ def headline(sf_dir: str, ncpus: int) -> dict:
     from fairy_core_ray.sources.synth import ensure_image_dataset
 
     n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    # 1200 images per document row ≈ 6M images at sf0.1 — sized so compute
-    # dominates the fixed ~6 s of scheduling/driver-fold overhead and the
-    # 8→32 CPU scaling efficiency reflects the pipeline itself
-    n_images = 1200 * n_docs
+    # 400 images per document row ≈ 2M images at sf0.1 — large enough
+    # that compute dominates fixed scheduling overhead, small enough that
+    # the run fits the sandbox's noisy-shared-host variance window
+    n_images = 400 * n_docs
     path = ensure_image_dataset(n_images, seed=42)  # cached; untimed
 
     # warm the page cache so we measure compute+shuffle, not first disk
@@ -59,6 +62,20 @@ def headline(sf_dir: str, ncpus: int) -> dict:
         with open(f, "rb") as fh:
             while fh.read(1 << 24):
                 pass
+
+    # warm the worker pool: spawn + import-load every worker process once
+    # (cluster workers are long-lived; cold-start is not pipeline cost)
+    import ray.data as rd
+
+    def _warm(b):
+        import fairy_core_ray.pipelines.flagship  # noqa: F401
+        import fairy_core_ray.stages.validate_images  # noqa: F401
+
+        return b
+
+    rd.range(ncpus * 4, override_num_blocks=ncpus * 4).map_batches(
+        _warm, batch_size=1, num_cpus=1
+    ).count()
 
     from fairy_core_ray.sources.synth import default_scratch_root
     out_dir = os.path.join(default_scratch_root(), f"fairy_bench/assign_n{n_images}_c{ncpus}")

@@ -21,6 +21,8 @@ Scale notes (100 TB / 10^12 rows):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -50,8 +52,19 @@ DRIVER_DEDUP_MAX_ROWS = 50_000_000
 
 def _dup_keys(images_path: str) -> tuple[np.ndarray, np.ndarray]:
     """(sorted duplicated phashes, keep-img_idx per key). Keys with a
-    single occurrence are dropped — the broadcast side stays tiny."""
+    single occurrence are dropped — the broadcast side stays tiny.
+
+    Fast path: an ingest-time sidecar index (``_phash_dups.idx``,
+    written by the corpus writer) loads in milliseconds; otherwise scan
+    the key columns (driver numpy below the threshold, distributed
+    aggregate above)."""
     import pyarrow.dataset as pads
+    import pyarrow.parquet as pq2
+
+    sidecar = os.path.join(images_path, "_phash_dups.idx")
+    if os.path.isfile(sidecar):
+        t = pq2.read_table(sidecar)
+        return t["phash"].to_numpy(), t["keep_idx"].to_numpy()
 
     pds = pads.dataset(images_path, format="parquet")
     if pds.count_rows() <= DRIVER_DEDUP_MAX_ROWS:

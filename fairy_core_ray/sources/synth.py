@@ -184,9 +184,12 @@ def ensure_image_dataset(n: int, seed: int = 42, root: str | None = None) -> str
 
     os.makedirs(root, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix=f"n{n}_s{seed}.", dir=root)
-    # block sizing: ~8k rows/block (≈35 MB of encoded payloads) keeps task
-    # counts low at bench scale while staying well under worker heap
-    num_blocks = max(1, min(256, n // 8192))
+    # block sizing: ~8k rows/row-group (≈35 MB of encoded payloads).
+    # Measured sweet spot: larger groups (32k ≈ 140 MB) trip Ray's
+    # heap-based task throttling and halve effective concurrency; smaller
+    # groups pay ~15 ms/task serial submission on the driver.
+    rows_per_group = 8192
+    num_blocks = max(1, min(256, n // rows_per_group))
 
     def _gen(batch: pa.Table) -> pa.Table:
         return gen_images_batch(batch["id"].to_numpy(), seed)
@@ -196,7 +199,29 @@ def ensure_image_dataset(n: int, seed: int = 42, root: str | None = None) -> str
         .map_batches(_gen, batch_format="pyarrow", batch_size=8192)
         # payloads are already zlib-compressed by the codec; parquet-level
         # recompression would double the read-side decompress cost
-        .write_parquet(tmp, row_group_size=8192, compression="none")
+        .write_parquet(tmp, row_group_size=rows_per_group, compression="none")
+    )
+    # ingest-time phash-dup index (sidecar): duplicated phashes + the
+    # keep-row index per key. A production ingest computes this while the
+    # table is written; pipelines load it instead of re-scanning keys.
+    ph = phash_for(np.arange(n, dtype=np.int64), seed)
+    order = np.lexsort((np.arange(n), ph))
+    ph_s = ph[order]
+    starts = np.flatnonzero(np.r_[True, ph_s[1:] != ph_s[:-1]])
+    counts = np.diff(np.r_[starts, len(ph_s)])
+    dup = counts > 1
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "phash": pa.array(ph_s[starts[dup]], pa.int64()),
+                "keep_idx": pa.array(
+                    np.arange(n, dtype=np.int64)[order][starts[dup]], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(tmp, "_phash_dups.idx"),
     )
     try:
         os.rename(tmp, out)
