@@ -665,6 +665,108 @@ def q_short_docs(sf_dir: str):
     )
 
 
+def q_sessionize(sf_dir: str):
+    """session windows (30-min gap) per user — the streaming-shaped
+    operator pattern: partition by key, sort by ts within group (see
+    ray_guide 'Streaming-shaped workloads'). Ordering assumption: events
+    of one user fit one group; equal timestamps share a session, so the
+    result is order-insensitive."""
+    gap_us = 1_800_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        us = np.sort(g["ts"].astype("int64").to_numpy())
+        new_s = np.ones(len(us), dtype=np.int64)
+        if len(us) > 1:
+            new_s[1:] = (np.diff(us) > gap_us).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [int(new_s.sum())],
+                "n_events": [len(us)],
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def q_asof_last_order(sf_dir: str):
+    """as-of join: each event matched to the customer's latest order at
+    or before the event time (pd.merge_asof per key group over a tagged
+    union — the bucketed as-of pattern from the guide). Events with no
+    prior order are dropped (inner as-of)."""
+
+    events = _t(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        lambda t: pa.table(
+            {
+                "key": t["user_id"],
+                "t_us": pc.cast(t["ts"], pa.int64()),
+                "event_id": t["event_id"],
+                "side": pa.array(["e"] * len(t), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "key": t["o_custkey"],
+                "t_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "event_id": pa.array([-1] * len(t), pa.int64()),
+                "side": pa.array(["o"] * len(t), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["side"] == "e"].sort_values("t_us", kind="mergesort")
+        od = g[g["side"] == "o"].sort_values("t_us", kind="mergesort")
+        if ev.empty or od.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype=np.int64),
+                 "last_order_us": pd.Series([], dtype=np.int64)}
+            )
+        m = pd.merge_asof(
+            ev[["t_us", "event_id"]],
+            od[["t_us"]].assign(last_order_us=od["t_us"].to_numpy()),
+            on="t_us",
+            direction="backward",
+        )
+        m = m[m["last_order_us"].notna()]
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype(np.int64),
+                "last_order_us": m["last_order_us"].astype(np.int64),
+            }
+        )
+
+    return events.union(orders).groupby("key").map_groups(
+        per_key, batch_format="pandas"
+    )
+
+
+def q_image_thumb_stats(sf_dir: str):
+    """multimodal stage: decode → nearest-neighbor thumbnail → channel
+    stats over the flagship table (rows-only; stub codec, real plumbing)."""
+    import pyarrow.parquet as pq
+
+    from fairy_core_ray.sources.synth import ensure_image_dataset
+    from fairy_core_ray.stages.multimodal import ThumbnailStage
+
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    path = ensure_image_dataset(2 * n_docs, seed=42)
+    return rd.read_parquet(path, columns=["image_id", "bytes"]).map_batches(
+        ThumbnailStage,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 4),
+    )
+
+
 # ----- rows-only (non-SQL-expressible) operators -----
 
 
@@ -810,6 +912,9 @@ QUERIES = {
     "phash_hamming_knn": q_phash_hamming_knn,
     "token_stats": q_token_stats,
     "short_docs": q_short_docs,
+    "sessionize": q_sessionize,
+    "asof_last_order": q_asof_last_order,
+    "image_thumb_stats": q_image_thumb_stats,
     "langid": q_langid,
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
@@ -969,5 +1074,20 @@ ORACLE = {
     "short_docs": (
         "SELECT lang, count(*) AS n_short FROM documents "
         "WHERE n_chars < 200 GROUP BY lang ORDER BY lang"
+    ),
+    "sessionize": (
+        "WITH d AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events), "
+        "s AS (SELECT user_id, CASE WHEN us - lag(us) OVER "
+        "(PARTITION BY user_id ORDER BY us) > 1800000000 "
+        "OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL "
+        "THEN 1 ELSE 0 END AS new_s FROM d) "
+        "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, "
+        "count(*) AS n_events FROM s GROUP BY user_id ORDER BY user_id"
+    ),
+    "asof_last_order": (
+        "SELECT e.event_id, CAST(epoch_us(o.o_orderdate) AS BIGINT) AS last_order_us "
+        "FROM events e ASOF JOIN orders o "
+        "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate "
+        "ORDER BY e.event_id"
     ),
 }
