@@ -47,6 +47,24 @@ def _where_from_issue(issue: dict, fallback: str) -> str:
     return ", ".join(bits) if bits else fallback
 
 
+# Profile registry (reference decisions/0007, preflight_profiles.py:15-51,
+# 107-144): a profile pins input aliases + runner. "geo" and "generic" both
+# route to the rulepack runner here; new profiles register a callable.
+PROFILES: dict[str, dict] = {
+    "geo": {"inputs": ("samples", "files"), "runner": "run_preflight"},
+    "generic": {"inputs": ("input_01", "input_02"), "runner": "run_preflight"},
+}
+
+
+def run_profile(profile_id: str, rulepack_path: str, samples_path: str,
+                files_path: str, params: dict | None = None) -> dict:
+    if profile_id not in PROFILES:
+        raise KeyError(
+            f"Unknown profile '{profile_id}'; known: {sorted(PROFILES)}"
+        )
+    return run_preflight(rulepack_path, samples_path, files_path, params=params)
+
+
 def run_preflight(
     rulepack_path: str,
     samples_path: str,

@@ -172,6 +172,60 @@ def check_id_crossmatch(
     return out
 
 
+def check_not_null(ds: rd.Dataset, columns: list[str], col: str) -> list[dict]:
+    """check_not_null (rna.py:72-91, legacy CSV path): nullish cells in
+    one column → FAIL per row."""
+    if col not in columns:
+        return []
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[col]
+        bad = s.isna() | s.astype(str).str.strip().eq("")
+        return pd.DataFrame({"row": df[ROW_COL].to_numpy(np.int64)[bad.to_numpy()]})
+
+    hits = ds.map_batches(scan, batch_format="pandas").to_pandas()
+    if hits.empty or "row" not in hits.columns:
+        return []
+    return [
+        _w(
+            col,
+            "missing_value",
+            f"Missing value in required field '{col}'.",
+            "error",
+            int(r),
+            "Fill this cell.",
+        )
+        for r in sorted(hits["row"].tolist())
+    ]
+
+
+def check_read_length(ds: rd.Dataset, columns: list[str], col: str) -> list[dict]:
+    """check_read_length (rna.py:94-114): numeric < 1 (NaN coerced to -1)
+    → WARN per row."""
+    if col not in columns:
+        return []
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        rl = pd.to_numeric(df[col], errors="coerce").fillna(-1)
+        bad = rl < 1
+        return pd.DataFrame({"row": df[ROW_COL].to_numpy(np.int64)[bad.to_numpy()]})
+
+    hits = ds.map_batches(scan, batch_format="pandas").to_pandas()
+    if hits.empty or "row" not in hits.columns:
+        return []
+    return [
+        _w(
+            col,
+            "invalid_read_length",
+            "read_length must be >= 1",
+            "warning",
+            int(r),
+            "Use an integer read length like 50, 75, 100...",
+        )
+        for r in sorted(hits["row"].tolist())
+    ]
+
+
 def _grouped_flags(
     ds: rd.Dataset,
     key: str,
