@@ -74,6 +74,13 @@ def cmd_preflight(args) -> int:
     from fairy_core_ray.state.manifest import build_manifest_v1, now_utc_iso_z
     from fairy_core_ray.state.provenance import sha256_file
 
+    from fairy_core_ray.state.markdown import preflight_markdown
+    from fairy_core_ray.state.runcache import (
+        load_last_codes,
+        resolved_since_last_run,
+        save_last_codes,
+    )
+
     report = run_preflight(args.rulepack, args.samples, args.files)
     ready = report["summary"]["submission_ready"]
     if args.out_dir:
@@ -81,6 +88,14 @@ def cmd_preflight(args) -> int:
         rp_json = os.path.join(args.out_dir, "preflight_report.json")
         with open(rp_json, "w") as f:
             json.dump(report, f, indent=2, sort_keys=True)
+        current = {
+            r["rule"] for r in report["results"] if r["level"] in ("fail", "warn")
+        }
+        prior = load_last_codes(args.out_dir) or None
+        resolved = resolved_since_last_run(args.out_dir, current)
+        with open(os.path.join(args.out_dir, "preflight_report.md"), "w") as f:
+            f.write(preflight_markdown(report, resolved, prior))
+        save_last_codes(args.out_dir, current)
         manifest = build_manifest_v1(
             dataset_id=report["dataset_id"],
             fairy_version=report["engine"]["fairy_core_version"],

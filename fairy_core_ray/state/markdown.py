@@ -24,6 +24,146 @@ def href(url: str) -> str:
     return f"https://{u}"
 
 
+def preflight_markdown(
+    report: dict[str, Any],
+    resolved_codes: list[str],
+    prior_codes: set[str] | None,
+) -> str:
+    """Curator-facing preflight one-pager, string-identical to the
+    reference's emit_preflight_markdown
+    (/root/reference/src/fairy/cli/output_md.py:32-226)."""
+    metadata = report.get("metadata", {})
+    summary = report.get("summary", {})
+    results = report.get("results", [])
+    legacy_att = report.get("_legacy", {}).get("attestation")
+    inputs = metadata.get("inputs", {})
+    rulepack_meta = metadata.get("rulepack", {})
+    rulepack_id = rulepack_meta.get("id") or rulepack_meta.get("name") or "UNKNOWN_RULEPACK"
+    rulepack_version = rulepack_meta.get("version") or "0.0.0"
+    fairy_version = legacy_att.get("fairy_version", "unknown") if legacy_att else "unknown"
+    by_level = summary.get("by_level", {})
+    fail_count = by_level.get("fail", 0)
+    warn_count = by_level.get("warn", 0)
+    submission_ready = fail_count == 0
+
+    def input_block(label: str, meta: dict) -> list[str]:
+        if not meta:
+            return [f"### {label}", "", "_no input metadata_", ""]
+        return [
+            f"### {label}",
+            "",
+            f"- path: '{meta.get('path', '?')}'",
+            f"- sha256: '{meta.get('sha256', '?')}'",
+            f"- rows: '{meta.get('n_rows', '?')}'",
+            f"- cols: '{meta.get('n_cols', '?')}'",
+            "",
+        ]
+
+    fail_codes = sorted({r["rule"] for r in results if r["level"] == "fail"})
+    warn_codes = sorted({r["rule"] for r in results if r["level"] == "warn"})
+
+    table = ["| Level | Rule | Count | Samples |", "|-------|------|-------|--------|"]
+    for r in results:
+        samples = r.get("samples", [])
+        if samples:
+            summaries = []
+            for s in samples[:3]:
+                parts = []
+                if s.get("row"):
+                    parts.append(f"row {s['row']}")
+                if s.get("column"):
+                    parts.append(f"col {s['column']}")
+                if parts:
+                    summaries.append(", ".join(parts))
+            text = "; ".join(summaries)
+            if len(samples) > 3:
+                text += f" (+{len(samples) - 3} more)"
+        else:
+            text = "(none)"
+        table.append(
+            f"| {r.get('level', '?')} | {r.get('rule', '?')} | {r.get('count', 0)} | {text} |"
+        )
+
+    if prior_codes is None:
+        resolved_block = ["_No baseline from prior run (first run or cache missing)._"]
+    elif not resolved_codes:
+        resolved_block = ["_No previously-reported issues resolved._"]
+    else:
+        resolved_block = [f" -✅ {code}" for code in resolved_codes]
+
+    lines: list[str] = [
+        "# FAIRy Preflight Report",
+        "",
+        f"- **Schema version:** {report.get('schema_version', '?')}",
+        f"- **Rulepack:** {rulepack_id}@{rulepack_version}",
+        f"- **FAIRy version:** {fairy_version}",
+        f"- **Generated at (UTC):** {report.get('generated_at', '?')}",
+        f"- **Dataset ID:** {report.get('dataset_id', '?')}",
+        f"- **submission_ready:** `{submission_ready}`",
+        "",
+        "## Summary",
+        "",
+        f"- FAIL findings: {fail_count} {fail_codes}",
+        f"- WARN findings: {warn_count} {warn_codes}",
+        "",
+        "If `submission_ready` is `True`, FAIRy believes this dataset is ready to submit.",
+        "",
+        "---",
+        "",
+        "## Input provenance",
+        "",
+        "These hashes and dimensions identify the exact files that FAIRy validated.",
+        "You can hand this block to a curator or PI as evidence of what was checked.",
+        "",
+    ]
+    lines += input_block("samples.tsv", inputs.get("samples", {}))
+    lines += input_block("files.tsv", inputs.get("files", {}))
+    lines += [
+        "---",
+        "",
+        "## Results (all current issues)",
+        "",
+        "Level `fail` means “must fix before submission.”",
+        "Level `warn` means “soft violation / likely curator feedback.”",
+        "Level `pass` means the rule passed with no violations.",
+        "",
+    ]
+    if results:
+        lines += table
+        lines += [""]
+        for r in results:
+            if r.get("count", 0) > 0 and r.get("samples"):
+                samples = r.get("samples", [])
+                n = len(samples)
+                lines += [
+                    f"### {r.get('rule', '?')} ({r.get('level', '?')}, "
+                    f"{n} sample{'s' if n != 1 else ''})",
+                    "",
+                ]
+                for s in samples:
+                    parts = []
+                    if s.get("row"):
+                        parts.append(f"row {s['row']}")
+                    if s.get("column"):
+                        parts.append(f"column '{s['column']}'")
+                    if s.get("value") is not None:
+                        parts.append(f"value: {s['value']}")
+                    if s.get("message"):
+                        parts.append(f"message: {s['message']}")
+                    if s.get("hint"):
+                        parts.append(f"hint: {s['hint']}")
+                    if parts:
+                        lines.append(f"- {', '.join(parts)}")
+                lines += [""]
+    else:
+        lines += ["_No results (all rules passed)._", ""]
+    lines += ["---", "", "## Resolved since last run", ""]
+    if resolved_block:
+        lines += resolved_block
+    lines += [""]
+    return "\n".join(lines)
+
+
 def write_markdown(report: dict[str, Any]) -> str:
     eng = report.get("engine", {}) or {}
     att = report.get("attestation", {})

@@ -123,3 +123,57 @@ def test_markdown_parity_empty_report():
     }
     ours, ref = both(report)
     assert ours == ref
+
+
+def test_preflight_markdown_parity(tmp_path):
+    """Our preflight one-pager vs the reference's emit_preflight_markdown
+    on the same report dict, all three resolved-block branches."""
+    import json
+    import pathlib
+
+    if REF_SRC not in sys.path:
+        sys.path.insert(0, REF_SRC)
+    from fairy.cli.output_md import emit_preflight_markdown
+
+    from fairy_core_ray.state.markdown import preflight_markdown
+
+    report = {
+        "schema_version": "1.0.0",
+        "generated_at": "2025-11-11T12:00:00Z",
+        "dataset_id": "sha256:abc",
+        "metadata": {
+            "inputs": {
+                "samples": {"path": "/s.tsv", "sha256": "11", "n_rows": 3, "n_cols": 9},
+                "files": {},
+            },
+            "rulepack": {"id": "rp", "version": "0.2.0"},
+        },
+        "summary": {"by_level": {"pass": 4, "warn": 1, "fail": 1}},
+        "results": [
+            {
+                "rule": "CORE.ID.UNMATCHED_SAMPLE",
+                "level": "fail",
+                "count": 2,
+                "samples": [
+                    {"row": 3, "column": "sample_id", "message": "bad", "hint": "fix"},
+                    {"row": 5, "column": "sample_id", "value": "S999"},
+                    {"row": 6},
+                    {"row": 7},
+                ],
+            },
+            {"rule": "GEO.REQ.MISSING_FIELD", "level": "pass", "count": 0, "samples": []},
+            {"rule": "CORE.DATE.INVALID_ISO8601", "level": "warn", "count": 1,
+             "samples": [{"row": 2, "column": "collection_date", "value": "10/3/25"}]},
+        ],
+        "_legacy": {"attestation": {"fairy_version": "9.9"}},
+    }
+    for resolved, prior in [
+        (["OLD.CODE"], {"OLD.CODE", "X"}),
+        ([], {"X"}),
+        ([], None),
+    ]:
+        md = tmp_path / "x.md"
+        emit_preflight_markdown(pathlib.Path(md), report, resolved, prior)
+        want = md.read_text()
+        got = preflight_markdown(report, resolved, prior)
+        assert got == want
