@@ -191,55 +191,6 @@ class GeoAssignStage:
         return t.select(keep)
 
 
-def mark_first_per_phash(ds: rd.Dataset, images_path: str) -> rd.Dataset:
-    """Keep-first exact-dedup (reference check_dup semantics,
-    /root/reference/src/fairy/validation/rulepack_runner.py:359-389,
-    keep='first'): within a phash group only the min-image-index row keeps
-    ``dup_first = True``; 2nd+ occurrences are flagged duplicates.
-
-    Scale design: instead of shuffling row data through
-    ``groupby(phash).map_groups`` (one Python call per group — ruinous for
-    mostly-singleton groups), aggregate only the two key columns from a
-    *column-pruned re-read of the source* (so the expensive decode stage
-    never runs twice) — Ray's hash aggregate combines per block, so the
-    shuffle moves one partial row per key per block — keep only keys with
-    count > 1 (the duplicated keys, a tiny fraction), and broadcast
-    {phash: min_idx} to a vectorized marking pass. At 10^12 rows the
-    broadcast side becomes a hash-bucketed semi-join or a Bloom filter
-    over duplicated keys (see ray_guide 'Semi / anti join'); the
-    aggregate stays as-is.
-    """
-    from fairy_core_ray.stages.geo_stages import image_index_from_ids
-
-    def add_idx(t: pa.Table) -> pa.Table:
-        return t.append_column("img_idx", pa.array(image_index_from_ids(t), pa.int64()))
-
-    ds = ds.map_batches(add_idx, batch_format="pyarrow")
-    keep_ref = ray.put(_dup_keys(images_path))
-
-    class MarkFirst:
-        def __init__(self, ref):
-            self.dup_ph, self.dup_keep = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            first = np.ones(len(t), dtype=bool)
-            if len(self.dup_ph):
-                ph = t["phash"].to_numpy()
-                idx = t["img_idx"].to_numpy()
-                pos = np.searchsorted(self.dup_ph, ph)
-                pos_c = np.minimum(pos, len(self.dup_ph) - 1)
-                member = self.dup_ph[pos_c] == ph
-                first = ~(member & (idx != self.dup_keep[pos_c]))
-            return t.append_column("dup_first", pa.array(first, pa.bool_()))
-
-    return ds.map_batches(
-        MarkFirst,
-        fn_constructor_kwargs={"ref": keep_ref},
-        batch_format="pyarrow",
-        concurrency=(1, 2),
-    )
-
-
 # Per-worker-process stage cache: task-based stages get the same
 # init-once amortization as actor pools (Ray reuses worker processes),
 # while staying FUSIBLE with the read stage — the fused
