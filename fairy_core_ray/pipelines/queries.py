@@ -38,8 +38,20 @@ from fairy_core_ray.stages import text_stages as ts
 # ---------------------------------------------------------------------------
 
 
-def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+def _t(
+    sf_dir: str,
+    name: str,
+    columns: list[str] | None = None,
+    split: int | None = None,
+) -> rd.Dataset:
+    """Column-pruned read; ``split`` overrides block count — the driver
+    tables are single files, which would otherwise read as ONE block and
+    serialize any compute-heavy stage downstream."""
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"),
+        columns=columns,
+        override_num_blocks=split,
+    )
 
 
 def event_lonlat(event_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -773,7 +785,7 @@ def q_image_thumb_stats(sf_dir: str):
 def q_langid(sf_dir: str):
     """heuristic language-ID over documents (actor pool; rows-only)."""
     return (
-        _t(sf_dir, "documents", ["doc_id", "text"])
+        _t(sf_dir, "documents", ["doc_id", "text"], split=8)
         .map_batches(ts.LangId, batch_format="pandas", concurrency=(1, 4))
         .select_columns(["doc_id", "lang_pred"])
     )
@@ -818,19 +830,19 @@ def q_fingerprints(sf_dir: str):
 def q_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup pairs (rows-only; pytest oracle on seeded
     duplicates)."""
-    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    ds = _t(sf_dir, "documents", ["doc_id", "text"], split=16)
     return dd.minhash_lsh_pairs(ds, threshold=0.5)
 
 
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs (rows-only)."""
-    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    ds = _t(sf_dir, "documents", ["doc_id", "text"], split=16)
     return dd.simhash_pairs(ds, max_hamming=3)
 
 
 def q_ngram_pairs(sf_dir: str):
     """word-3-gram Jaccard near-dup pairs (rows-only)."""
-    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    ds = _t(sf_dir, "documents", ["doc_id", "text"], split=16)
     return dd.ngram_jaccard_pairs(ds, threshold=0.5)
 
 
