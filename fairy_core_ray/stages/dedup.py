@@ -118,6 +118,29 @@ def minhash_signature(shingles: np.ndarray, num_perm: int, seed: int = 42) -> np
     return vals.min(axis=1).astype(np.uint64)
 
 
+def minhash_signatures_batch(
+    shingle_sets: list[np.ndarray], num_perm: int, seed: int = 42
+) -> np.ndarray:
+    """(n_docs, num_perm) signatures in ONE vectorized pass: concatenate
+    all shingles, hash the (P, S_total) matrix once, segment-min per doc
+    via minimum.reduceat. Identical output to per-doc minhash_signature."""
+    sizes = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+    out = np.full((len(shingle_sets), num_perm), np.iinfo(np.uint64).max, np.uint64)
+    nonempty = np.flatnonzero(sizes > 0)
+    if not len(nonempty):
+        return out
+    concat = np.concatenate([shingle_sets[i] for i in nonempty])
+    rng_a = hash_u64(np.arange(num_perm, dtype=np.int64), seed) | np.uint64(1)
+    rng_b = hash_u64(np.arange(num_perm, dtype=np.int64), seed ^ 0xB0B)
+    x = (concat % _MERSENNE)[None, :]
+    with np.errstate(over="ignore"):
+        vals = (rng_a[:, None] * x + rng_b[:, None]) % _MERSENNE  # (P, S_total)
+    starts = np.r_[0, np.cumsum(sizes[nonempty])[:-1]]
+    mins = np.minimum.reduceat(vals, starts, axis=1)  # (P, n_nonempty)
+    out[nonempty] = mins.T.astype(np.uint64)
+    return out
+
+
 def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0
@@ -146,9 +169,15 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].tolist()
+        sets = [
+            char_shingles_u64(t, shingle_k)
+            for t in df[text_col].fillna("").astype(str)
+        ]
+        sigs = minhash_signatures_batch(sets, num_perm, seed)  # (n, P)
         out_band, out_hash, out_id = [], [], []
-        for doc_id, text in zip(df[id_col], df[text_col].fillna("").astype(str)):
-            sig = minhash_signature(char_shingles_u64(text, shingle_k), num_perm, seed)
+        for j, doc_id in enumerate(ids):
+            sig = sigs[j]
             for b in range(bands):
                 chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
                 h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
