@@ -317,14 +317,18 @@ def run_rulepack(
     for name, path in inputs_map.items():
         handle = handles[name]
         rules = applicable_rules(rulepack, Path(path).name)
-        results: dict[str, tuple[str, dict]] = {}
-        batch_rules: list[tuple[dict, Any, dict]] = []  # (rule, fn, meta)
+        # Keyed by rule POSITION, not id: rulepacks with duplicate ids (or
+        # several old-schema rules with no id) are legal input and each
+        # entry must be evaluated independently, as the reference runner
+        # does (rulepack_runner.py evaluates the rules list in order).
+        results: dict[int, tuple[str, dict]] = {}
+        batch_rules: list[tuple[int, dict, Any, dict, str]] = []  # (pos, rule, fn, meta, tag)
 
-        for r in rules:
+        for pos, r in enumerate(rules):
             rtype = r.get("type", "")
             rid = r.get("id", "")
             if rtype not in CHECK_TYPES:
-                results[rid] = (
+                results[pos] = (
                     "FAIL",
                     {
                         "error": "unknown_rule_type",
@@ -346,41 +350,44 @@ def run_rulepack(
                     )
                     ok, res = _dup_check(handle, keys, err_code)
                     if not ok:
-                        results[rid] = res
+                        results[pos] = res
                     elif len(res):
                         rows = _rows_1based(res)
                         ev = {"duplicates": [{"rows": rows}], "count": len(rows)}
                         rem = _dup_remediation(handle, rows, r)
                         if rem:
                             ev["remediation"] = rem
-                        results[rid] = (_status(r.get("severity", "fail")), ev)
+                        results[pos] = (_status(r.get("severity", "fail")), ev)
                     else:
-                        results[rid] = ("PASS", {"count": 0})
+                        results[pos] = ("PASS", {"count": 0})
                 elif rtype == "foreign_key":
-                    results[rid] = _foreign_key_check(handles, r)
+                    results[pos] = _foreign_key_check(handles, r)
                 else:
-                    compiled = PER_ROW_COMPILERS[rtype](r, handle.columns)
+                    # compile with a position-unique violation tag so
+                    # same-id rules don't see each other's violations
+                    tag = f"__rule{pos}__"
+                    compiled = PER_ROW_COMPILERS[rtype](dict(r, id=tag), handle.columns)
                     if compiled[0] == "error":
-                        results[rid] = (compiled[1], compiled[2])
+                        results[pos] = (compiled[1], compiled[2])
                     else:
-                        batch_rules.append((r, compiled[1], compiled[2]))
+                        batch_rules.append((pos, r, compiled[1], compiled[2], tag))
             except Exception as e:  # runtime guard (rulepack_runner.py:277-278)
-                results[rid] = ("FAIL", {"error": "runtime_error", "message": str(e)})
+                results[pos] = ("FAIL", {"error": "runtime_error", "message": str(e)})
 
         # single shared violations pass for all per-row rules on this input
-        viol = _run_violations_pass(handle, [fn for _, fn, _ in batch_rules])
-        for r, _fn, meta in batch_rules:
-            rid, rtype = r.get("id", ""), r.get("type", "")
-            v = viol[viol["rule_id"] == rid] if not viol.empty else viol
+        viol = _run_violations_pass(handle, [fn for _, _, fn, _, _ in batch_rules])
+        for pos, r, _fn, meta, tag in batch_rules:
+            rtype = r.get("type", "")
+            v = viol[viol["rule_id"] == tag] if not viol.empty else viol
             try:
-                results[rid] = _build_evidence(rtype, r, meta, v)
+                results[pos] = _build_evidence(rtype, r, meta, v)
             except Exception as e:
-                results[rid] = ("FAIL", {"error": "runtime_error", "message": str(e)})
+                results[pos] = ("FAIL", {"error": "runtime_error", "message": str(e)})
 
         resource_rules = []
-        for r in rules:
+        for pos, r in enumerate(rules):
             rid = r.get("id", "")
-            status, evidence = results.get(rid, ("PASS", {}))
+            status, evidence = results.get(pos, ("PASS", {}))
             resource_rules.append(
                 {
                     "id": rid,
@@ -409,7 +416,10 @@ def _dup_remediation(handle: TableHandle, rows_1based: list[int], rule: dict) ->
 
     def pick(batch: pa.Table) -> pa.Table:
         df = batch.select([ROW_COL, rem_col]).to_pandas()
-        df = df[df[ROW_COL].isin(wanted)]
+        # drop nulls BEFORE astype(str): stringifying first would turn
+        # None/NaN into the literal 'None'/'nan' and emit bogus link urls
+        # (the reference skips NaN rows, rulepack_runner.py:326-356)
+        df = df[df[ROW_COL].isin(wanted) & df[rem_col].notna()]
         return pa.table(
             {
                 "row": pa.array(df[ROW_COL].to_numpy(np.int64)),

@@ -164,9 +164,14 @@ class GeoAssignStage:
 
     def __init__(self, keep_ref, polys_ref, seed: int = 42):
         if isinstance(keep_ref, ray.actor.ActorHandle):
-            self.dup_ph, self.dup_keep = ray.get(keep_ref.get.remote())
+            published = ray.get(keep_ref.get.remote())
         else:
-            self.dup_ph, self.dup_keep = ray.get(keep_ref)
+            published = ray.get(keep_ref)
+        if isinstance(published, BaseException):
+            # the dup-key publisher failed; surface its error here instead
+            # of silently proceeding without dedup
+            raise RuntimeError("dup-key scan failed") from published
+        self.dup_ph, self.dup_keep = published
         self.pip = PipJoiner(polys_ref)
         self.seed = seed
 
@@ -269,11 +274,18 @@ def flagship(
     bc = _BroadcastOnce.remote()
 
     def _publish():
-        keys = (
-            _dup_keys(images_path)
-            if dedup
-            else (np.array([], np.int64), np.array([], np.int64))
-        )
+        # ALWAYS publish — an unpublished cell would block every
+        # GeoAssignStage.__init__ forever; on failure publish the
+        # exception itself and GeoAssignStage re-raises it
+        try:
+            keys = (
+                _dup_keys(images_path)
+                if dedup
+                else (np.array([], np.int64), np.array([], np.int64))
+            )
+        except BaseException as e:  # noqa: BLE001
+            bc.put.remote(e)
+            return
         bc.put.remote(keys)
 
     import threading
@@ -319,10 +331,39 @@ def flagship(
     return {"assignments": assignments, "tile_stats": tile_stats}
 
 
+# Below this row count the stats fold runs as a direct multi-threaded
+# Arrow scan on the driver — no second Ray job, no executor ramp (the
+# ramp was a fixed ~5 s that capped measured scaling efficiency). Above
+# it, a per-batch-combined distributed aggregate (one row per
+# (cell, tile) per block crosses the shuffle).
+DRIVER_STATS_MAX_ROWS = 50_000_000
+
+
 def tile_stats_from_assignments(assignments_path: str) -> rd.Dataset:
     """Tile stats recomputed from a written assignments parquet — lets a
     consumer that already wrote assignments avoid re-executing the whole
     pipeline for the stats aggregate."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    cols = ["cell", "tile_id", "valid", "dup_first"]
+    pds = pads.dataset(assignments_path, format="parquet")
+    if pds.count_rows() <= DRIVER_STATS_MAX_ROWS:
+        t = pds.to_table(
+            columns=["cell", "tile_id"],
+            filter=(
+                pc.field("valid") & pc.field("dup_first") & ~pc.field("tile_id").is_null()
+            ),
+        )
+        g = t.group_by(["cell", "tile_id"]).aggregate([([], "count_all")])
+        merged = (
+            g.rename_columns(["cell", "tile_id", "n_images"])
+            .to_pandas()
+            .sort_values("n_images", ascending=False, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        return rd.from_pandas(merged)
+
     partial_schema = pa.schema(
         [("cell", pa.int64()), ("tile_id", pa.string()), ("partial_n", pa.int64())]
     )
@@ -338,23 +379,10 @@ def tile_stats_from_assignments(assignments_path: str) -> rd.Dataset:
         )
         return pa.Table.from_pandas(out, preserve_index=False).cast(partial_schema)
 
-    partials = rd.read_parquet(
-        assignments_path, columns=["cell", "tile_id", "valid", "dup_first"]
-    ).map_batches(partial, batch_format="pyarrow")
-    # final fold on the driver: the partial stream is bounded by
-    # (#cells × #tiles) per block, so the combine is tiny — no shuffle
-    frames = [
-        b for b in partials.iter_batches(batch_size=None, batch_format="pandas")
-    ]
-    import pandas as pd
-
-    merged = (
-        pd.concat(frames, ignore_index=True)
-        .groupby(["cell", "tile_id"], sort=False)["partial_n"]
-        .sum()
-        .rename("n_images")
-        .reset_index()
-        .sort_values("n_images", ascending=False, kind="mergesort")
-        .reset_index(drop=True)
+    return (
+        rd.read_parquet(assignments_path, columns=cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["cell", "tile_id"])
+        .aggregate(rd.aggregate.Sum("partial_n", alias_name="n_images"))
+        .sort("n_images", descending=True)
     )
-    return rd.from_pandas(merged)

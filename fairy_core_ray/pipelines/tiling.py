@@ -41,6 +41,39 @@ from fairy_core_ray.state.manifest import now_utc_iso_z
 
 MANIFEST_NAME = "_completed_shards.json"
 
+_SALT_BITS = 16  # shard key = (compact_coarse_cell << 16) | salt
+
+
+def _compact_cell(cell: np.ndarray, res: int) -> np.ndarray:
+    """Compact (ix, iy) packing of a res-``res`` cell: fits in 2*res bits
+    (cell ids themselves carry ``res`` in bits 58+, so they can't be
+    shifted left without overflow)."""
+    cell = np.asarray(cell, np.int64)
+    ix = (cell >> np.int64(29)) & np.int64((1 << 29) - 1)
+    iy = cell & np.int64((1 << 29) - 1)
+    return (ix << np.int64(res)) | iy
+
+
+def _shard_key(coarse_cell: np.ndarray, salt: np.ndarray, res: int) -> np.ndarray:
+    """Vectorized int64 shard key — shuffling ints beats per-row f-strings."""
+    return (_compact_cell(coarse_cell, res) << np.int64(_SALT_BITS)) | np.asarray(
+        salt, np.int64
+    )
+
+
+def _shard_name(key: int, res: int) -> str:
+    """Human-readable shard id (filename / manifest key): 'c<cell>-s<salt>'."""
+    salt = key & ((1 << _SALT_BITS) - 1)
+    compact = key >> _SALT_BITS
+    ix, iy = compact >> res, compact & ((1 << res) - 1)
+    cell = (res << 58) | (ix << 29) | iy
+    return f"c{cell}-s{salt}"
+
+
+def _shard_key_from_name(name: str, res: int) -> int:
+    cell_s, salt_s = name[1:].split("-s")
+    return int(_shard_key(np.array([int(cell_s)]), np.array([int(salt_s)]), res)[0])
+
 
 def shard_plan(
     n_images: int, seed: int, coarse_res: int, target_rows: int
@@ -103,27 +136,34 @@ def write_tiled(
 
         n_images = pads.dataset(images_path, format="parquet").count_rows()
     plan = shard_plan(n_images, seed, coarse_res, target_rows)
-    plan_ref = ray.put(plan)
+    # plan as sorted parallel arrays: vectorized searchsorted lookup
+    plan_cells = np.array(sorted(plan), dtype=np.int64)
+    plan_k = np.array([plan[int(c)] for c in plan_cells], dtype=np.int64)
+    plan_ref = ray.put((plan_cells, plan_k))
     done = _load_manifest(out_root)
-    done_ref = ray.put(set(done.keys()))
+    done_keys = np.sort(
+        np.array([_shard_key_from_name(s, coarse_res) for s in done], np.int64)
+    )
+    done_ref = ray.put(done_keys)
 
     assignments = flagship(images_path, decode=decode, seed=seed)["assignments"]
 
     def add_shard_key(t: pa.Table) -> pa.Table:
-        p = ray.get(plan_ref)
+        pc, pk = ray.get(plan_ref)
         finished = ray.get(done_ref)
-        cells = t["cell"].to_numpy()
-        coarse = cell_parent(cells, coarse_res)
-        idx = np.array(
-            [int(s[4:]) for s in t["image_id"].to_pylist()], dtype=np.int64
-        )
-        ks = np.array([p.get(int(c), 1) for c in coarse], dtype=np.int64)
-        salt = idx % ks
-        shard = [f"c{int(c)}-s{int(s)}" for c, s in zip(coarse, salt)]
-        t = t.append_column("shard", pa.array(shard, pa.string()))
+        from fairy_core_ray.stages.geo_stages import image_index_from_ids
+
+        coarse = cell_parent(t["cell"].to_numpy(), coarse_res)
+        idx = image_index_from_ids(t)  # vectorized Arrow parse of image_id
+        if len(pc):
+            pos = np.minimum(np.searchsorted(pc, coarse), len(pc) - 1)
+            ks = np.where(pc[pos] == coarse, pk[pos], 1)
+        else:
+            ks = np.ones(len(coarse), np.int64)
+        shard = _shard_key(coarse, idx % ks, coarse_res)
+        t = t.append_column("shard", pa.array(shard, pa.int64()))
         # resume: drop rows of already-committed shards before the shuffle
-        keep = [s not in finished for s in shard]
-        return t.filter(pa.array(keep, pa.bool_()))
+        return t.filter(pa.array(~np.isin(shard, finished), pa.bool_()))
 
     keyed = assignments.map_batches(add_shard_key, batch_format="pyarrow")
 
@@ -131,7 +171,7 @@ def write_tiled(
     inputs_ref = ray.put(inputs_meta)
 
     def write_shard(g: pd.DataFrame) -> pd.DataFrame:
-        shard = g["shard"].iloc[0]
+        shard = _shard_name(int(g["shard"].iloc[0]), coarse_res)
         g = g.drop(columns=["shard"]).sort_values("image_id").reset_index(drop=True)
         fname = os.path.join(out_root, f"{shard}.parquet")
         tmp = fname + ".tmp"

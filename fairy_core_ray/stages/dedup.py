@@ -60,6 +60,15 @@ def md5_hex(texts: pd.Series) -> pd.Series:
     )
 
 
+def _key_hash_u64(values) -> np.ndarray:
+    """Deterministic vectorized u64 hash of a key array (pandas SipHash
+    with its fixed default key — stable across processes). Both the
+    aggregate side and the marking side hash through this, so any dtype
+    the key column round-trips to hashes consistently."""
+    arr = np.asarray(values)
+    return pd.util.hash_array(arr, categorize=arr.dtype == object)
+
+
 def keep_first(
     ds: rd.Dataset,
     key_fn: Callable[[pa.Table], pa.Array],
@@ -67,7 +76,8 @@ def keep_first(
 ) -> rd.Dataset:
     """Generic keep-first exact dedup: append ``dup_first`` (True for the
     min-``order_col`` row of each key group). Aggregates (key, order)
-    only; broadcasts the duplicated-key map (SURVEY.md §7.3; at 10^12
+    only; broadcasts sorted u64 key-hash + keep-order arrays and marks
+    with ``searchsorted`` — no per-row Python (SURVEY.md §7.3; at 10^12
     rows swap the broadcast for a hash-bucketed semi-join)."""
 
     def project(t: pa.Table) -> pa.Table:
@@ -82,23 +92,23 @@ def keep_first(
         )
     )
     dup = agg.filter(expr="n > 1").to_pandas()
-    dup_keys = (
-        dict(zip(dup["key"].tolist(), dup["keep_ord"].tolist()))
-        if "key" in dup.columns
-        else {}
-    )
-    ref = ray.put(dup_keys)
+    if "key" in dup.columns and len(dup):
+        kh = _key_hash_u64(dup["key"].to_numpy())
+        order = np.argsort(kh)
+        dup_kh, dup_ord = kh[order], dup["keep_ord"].to_numpy()[order]
+    else:
+        dup_kh, dup_ord = np.empty(0, np.uint64), np.empty(0, np.int64)
+    ref = ray.put((dup_kh, dup_ord))
 
     def mark(t: pa.Table) -> pa.Table:
-        keep = ray.get(ref)
+        dk, do = ray.get(ref)
         first = np.ones(len(t), dtype=bool)
-        if keep:
-            keys = key_fn(t).to_pylist()
-            orders = t[order_col].to_pylist()
-            for j, (k, o) in enumerate(zip(keys, orders)):
-                ko = keep.get(k)
-                if ko is not None and o != ko:
-                    first[j] = False
+        if len(dk):
+            kh = _key_hash_u64(key_fn(t).to_pandas().to_numpy())
+            pos = np.minimum(np.searchsorted(dk, kh), len(dk) - 1)
+            member = dk[pos] == kh
+            orders = np.asarray(t[order_col].to_pandas())
+            first = ~(member & (orders != do[pos]))
         return t.append_column("dup_first", pa.array(first, pa.bool_()))
 
     return ds.map_batches(mark, batch_format="pyarrow")
@@ -120,6 +130,18 @@ def char_shingles_u64(text: str, k: int = 5) -> np.ndarray:
     with np.errstate(over="ignore"):
         h = (win * weights).sum(axis=1)
     return np.unique(splitmix64(h))
+
+
+def _combine_band_key(band: np.ndarray, bh: np.ndarray) -> np.ndarray:
+    """Fold (band, bh) into one int64 membership key for vectorized
+    ``np.isin`` filtering. Hash collisions only ADD candidate rows — all
+    candidate pairs are verified exactly downstream — so wrapping u64
+    arithmetic is safe here."""
+    with np.errstate(over="ignore"):
+        mixed = bh.astype(np.int64).view(np.uint64) ^ (
+            band.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        )
+    return splitmix64(mixed).view(np.int64)
 
 
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -191,22 +213,26 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df[id_col].tolist()
+        ids = df[id_col].to_numpy()
         sets = [
             char_shingles_u64(t, shingle_k)
             for t in df[text_col].fillna("").astype(str)
         ]
         sigs = minhash_signatures_batch(sets, num_perm, seed)  # (n, P)
-        out_band, out_hash, out_id = [], [], []
-        for j, doc_id in enumerate(ids):
-            sig = sigs[j]
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                out_band.append(b)
-                out_hash.append(h)
-                out_id.append(doc_id)
-        return pd.DataFrame({"band": out_band, "bh": out_hash, "id": out_id})
+        # band hashing vectorized across (docs, bands): reshape to
+        # (n, bands, rows_per_band) and fold each band's rows with the
+        # splitmix64 finalizer — no per-doc Python, no per-band blake2b
+        resh = sigs.reshape(len(sets), bands, rows_per_band)
+        acc = np.zeros((len(sets), bands), np.uint64)
+        for r in range(rows_per_band):
+            acc = splitmix64(acc ^ resh[:, :, r])
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(bands, dtype=np.int64), len(sets)),
+                "bh": acc.view(np.int64).ravel(),  # int64: survives Ray round-trips
+                "id": np.repeat(ids, bands),
+            }
+        )
 
     sketch_src = ds.select_columns([id_col, text_col])
     sketch_ds = sketch_src.map_batches(sketch, batch_format="pandas")
@@ -229,13 +255,16 @@ def minhash_lsh_pairs(
     counts = folded[(folded["n"] > 1) & (folded["n"] <= max_bucket)]  # hot-bucket guard
     if counts.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    collided = set(zip(counts["band"].tolist(), counts["bh"].tolist()))
+    collided = np.sort(
+        _combine_band_key(counts["band"].to_numpy(np.int64), counts["bh"].to_numpy(np.int64))
+    )
     cref = ray.put(collided)
 
     def keep_collided(out: pd.DataFrame) -> pd.DataFrame:
         keys = ray.get(cref)
-        mask = [(b, h) in keys for b, h in zip(out["band"], out["bh"])]
-        return out[mask]
+        comb = _combine_band_key(out["band"].to_numpy(np.int64), out["bh"].to_numpy(np.int64))
+        # numpy bool mask (NOT a list: df[[]] would select zero COLUMNS)
+        return out[np.isin(comb, keys)]
 
     if materialized is not None:
         second = materialized.map_batches(keep_collided, batch_format="pandas")
@@ -282,27 +311,45 @@ def minhash_lsh_pairs(
 
 
 def simhash64(texts: pd.Series, seed: int = 42) -> np.ndarray:
-    """64-bit SimHash over whitespace tokens (Charikar 2002)."""
-    out = np.zeros(len(texts), dtype=np.uint64)
+    """64-bit SimHash over whitespace tokens (Charikar 2002).
+
+    Vectorized across the whole batch: tokens are factorized once
+    (pd.factorize, C-level), each DISTINCT token is hashed once with
+    pandas' vectorized SipHash (seed-keyed, process-stable), and the
+    per-(doc, bit) votes are a single ``np.add.at`` scatter — no per-doc
+    Python loop, no per-token hashlib calls."""
+    import itertools
+
+    s = texts.fillna("").astype(str)
+    n = len(s)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    tok_lists = s.str.split()
+    lens = tok_lists.map(len).to_numpy(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    flat = np.fromiter(
+        itertools.chain.from_iterable(tok_lists), dtype=object, count=total
+    )
+    doc_ids = np.repeat(np.arange(n), lens)
+    codes, uniques = pd.factorize(flat, sort=False)
+    hs = pd.util.hash_array(
+        np.asarray(uniques, dtype=object),
+        hash_key=f"{seed & 0xFFFFFFFFFFFFFFFF:016x}"[:16],
+        categorize=False,
+    )
     bit_idx = np.arange(64, dtype=np.uint64)
-    for j, t in enumerate(texts.fillna("").astype(str)):
-        toks = t.split()
-        if not toks:
-            continue
-        uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-        hs = np.array(
-            [int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8,
-                                            key=seed.to_bytes(8, "little")).digest(), "little")
-             for w in uniq],
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-        votes = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
-        sh = np.uint64(0)
-        for b in range(64):
-            if votes[b] > 0:
-                sh |= np.uint64(1) << np.uint64(b)
-        out[j] = sh
+    signs = (
+        ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1
+    )  # (n_distinct_tokens, 64) in {-1, +1}
+    votes = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(votes, doc_ids, signs[codes])
+    nz = lens > 0
+    out[nz] = ((votes[nz] > 0).astype(np.uint64) << bit_idx[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
     return out
 
 
@@ -312,24 +359,34 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = 256,
     seed: int = 42,
 ) -> pd.DataFrame:
     """Near-dup pairs with simhash Hamming distance <= max_hamming.
 
     Candidates: 4 × 16-bit band buckets (any pair within Hamming<=3 of a
     64-bit hash shares at least one of 4 bands by pigeonhole). Verified
-    exactly with popcount."""
+    exactly with popcount. Token-less documents are skipped (they all
+    simhash to 0 and would flood band 0), and buckets larger than
+    ``max_bucket`` are dropped — the same hot-key guard as the minhash
+    path (boilerplate corpora otherwise make the pair set O(n²))."""
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
-        sh = simhash64(df[text_col], seed)
-        rows = {"band": [], "bh": [], "id": [], "sh": []}
-        for doc_id, h in zip(df[id_col], sh):
-            for b in range(4):
-                rows["band"].append(b)
-                rows["bh"].append(int((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
-                rows["id"].append(doc_id)
-                rows["sh"].append(int(h))
-        return pd.DataFrame(rows)
+        s = df[text_col].fillna("").astype(str)
+        nonblank = s.str.strip().ne("").to_numpy()
+        sh = simhash64(s[nonblank], seed) if nonblank.any() else np.empty(0, np.uint64)
+        ids = df[id_col].to_numpy()[nonblank]
+        m = len(ids)
+        shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))[None, :]
+        bh = ((sh[:, None] >> shifts) & np.uint64(0xFFFF)).astype(np.int64).ravel()
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(4, dtype=np.int64), m),
+                "bh": bh,
+                "id": np.repeat(ids, 4),
+                "sh": sh.view(np.int64).repeat(4),  # int64, stable block schema
+            }
+        )
 
     sketch_src = ds.select_columns([id_col, text_col])
     partials = sketch_src.map_batches(
@@ -337,17 +394,19 @@ def simhash_pairs(
         batch_format="pandas",
     )
     folded = _fold_counts(partials, ["band", "bh"])
-    counts = folded[folded["n"] > 1]
+    counts = folded[(folded["n"] > 1) & (folded["n"] <= max_bucket)]  # hot-bucket guard
     if counts.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-    collided = set(zip(counts["band"].tolist(), counts["bh"].tolist()))
+    collided = np.sort(
+        _combine_band_key(counts["band"].to_numpy(np.int64), counts["bh"].to_numpy(np.int64))
+    )
     cref = ray.put(collided)
 
     def sketch_filtered(df: pd.DataFrame) -> pd.DataFrame:
         keys = ray.get(cref)
         out = sketch(df)
-        mask = [(b, h) in keys for b, h in zip(out["band"], out["bh"])]
-        return out[mask]
+        comb = _combine_band_key(out["band"].to_numpy(np.int64), out["bh"].to_numpy(np.int64))
+        return out[np.isin(comb, keys)]
 
     sk = sketch_src.map_batches(sketch_filtered, batch_format="pandas").to_pandas()
     pairs: set[tuple] = set()
@@ -362,7 +421,7 @@ def simhash_pairs(
                 key = (ia, ib) if ia < ib else (ib, ia)
                 if key in hams:
                     continue
-                d = int(hamming64(np.array([ha], np.uint64), np.array([hb], np.uint64))[0])
+                d = int(hamming64(np.array([ha], np.int64), np.array([hb], np.int64))[0])
                 hams[key] = d
                 if d <= max_hamming:
                     pairs.add(key)
@@ -421,13 +480,15 @@ def ngram_jaccard_pairs(
     counts = folded[(folded["n"] > 1) & (folded["n"] <= max_posting)]  # rare-gram guard
     if counts.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    collided = set(int(g) for g in counts["g"].tolist())
+    collided = np.sort(counts["g"].to_numpy(np.uint64))
     cref = ray.put(collided)
 
     def explode_filtered(df: pd.DataFrame) -> pd.DataFrame:
         keys = ray.get(cref)
         out = explode(df)
-        return out[[int(g) in keys for g in out["g"]]]
+        # numpy bool mask (a list mask on an empty batch would select
+        # zero COLUMNS and break block schema unification)
+        return out[np.isin(out["g"].to_numpy(np.uint64), keys)]
 
     posted = posting_src.map_batches(explode_filtered, batch_format="pandas").to_pandas()
     pairs: set[tuple] = set()
@@ -474,6 +535,61 @@ def hash_bytes_int(s: str, seed: int = 42) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _unpack_vec_block(block) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, X) from a normalized-vector block (arrow or pandas)."""
+    if isinstance(block, pa.Table):
+        block = block.to_pandas()
+    if len(block) == 0:
+        return np.empty(0, np.int64), np.empty((0, 1), np.float64)
+    return block["id"].to_numpy(), np.stack(block["vec"].to_numpy())
+
+
+@ray.remote
+def _cosine_block_pair(block_a, block_b, threshold: float, same: bool):
+    """One block-pair product: emits (id_a, id_b, cosine) rows over the
+    threshold. Runs as a Ray task over object-store block refs — the
+    driver never holds the vectors."""
+    ids_a, Xa = _unpack_vec_block(block_a)
+    ids_b, Xb = (ids_a, Xa) if same else _unpack_vec_block(block_b)
+    if not len(ids_a) or not len(ids_b):
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+    S = Xa @ Xb.T
+    if same:
+        # keep strict upper triangle only
+        S[np.tril_indices_from(S)] = -2.0
+    ai, bj = np.nonzero(S >= threshold)
+    id_a, id_b = ids_a[ai], ids_b[bj]
+    keep = id_a != id_b
+    id_a, id_b, cos = id_a[keep], id_b[keep], S[ai, bj][keep]
+    swap = id_a > id_b
+    id_a[swap], id_b[swap] = id_b[swap], id_a[swap]
+    return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cos})
+
+
+def _vec_block_refs(ds: rd.Dataset, id_col: str, vec_col: str) -> list:
+    """Normalize vectors per batch and return the materialized blocks'
+    object refs (blocks live in the object store, not on the driver)."""
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame({"id": df[id_col].to_numpy(), "vec": list(X)})
+
+    norm = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(normalize, batch_format="pandas")
+        .materialize()
+    )
+    try:
+        return [
+            bref
+            for bundle in norm.iter_internal_ref_bundles()
+            for bref, _meta in bundle.blocks
+        ]
+    except AttributeError:  # older Ray
+        return list(norm.get_internal_block_refs())
+
+
 def embedding_neardup_pairs(
     ds: rd.Dataset,
     *,
@@ -481,39 +597,93 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.9,
 ) -> pd.DataFrame:
-    """All pairs with cosine >= threshold.
+    """All pairs with cosine >= threshold — EXACT, distributed.
 
-    Blockwise: normalized matrix blocks are collected as (ids, X) partials
-    (vectors only — tiny vs raw docs), then pairwise block products run on
-    the driver with numpy. At 10^12 scale the block-pair products become a
-    Ray task per block pair (same math); cosine blocking/IVF cuts the
-    quadratic term — see stages/knn.py for the bucketed variant."""
-    parts: list[tuple[np.ndarray, np.ndarray]] = []
-    for batch in ds.select_columns([id_col, vec_col]).iter_batches(
-        batch_size=4096, batch_format="pandas"
-    ):
-        X = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
-        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        parts.append((batch[id_col].to_numpy(), X))
-    rows = []
-    for i in range(len(parts)):
-        ids_a, Xa = parts[i]
-        for j in range(i, len(parts)):
-            ids_b, Xb = parts[j]
-            S = Xa @ Xb.T
-            if i == j:
-                np.fill_diagonal(S, -2.0)
-            ai, bj = np.nonzero(S >= threshold)
-            for a, b in zip(ai, bj):
-                id_a, id_b = ids_a[a], ids_b[b]
-                if id_a == id_b:
-                    continue
-                if id_a > id_b:
-                    id_a, id_b = id_b, id_a
-                rows.append((id_a, id_b, S[a, b]))
-    if not rows:
+    Normalized vector blocks stay in the object store; one Ray task per
+    block pair does the matmul + threshold and returns only matching
+    pairs, so the driver materializes nothing but block REFS and the
+    (tiny) result. Cost is O(B²) block pairs — exact by construction;
+    for web-scale high-threshold mining use
+    ``embedding_neardup_pairs_lsh`` (bucketed, approximate) instead."""
+    blocks = _vec_block_refs(ds, id_col, vec_col)
+    tasks = [
+        _cosine_block_pair.remote(blocks[i], blocks[j], threshold, i == j)
+        for i in range(len(blocks))
+        for j in range(i, len(blocks))
+    ]
+    parts = [p for p in ray.get(tasks) if len(p)]
+    if not parts:
         return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-    df = pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"]).drop_duplicates(
-        ["id_a", "id_b"]
-    )
+    df = pd.concat(parts, ignore_index=True).drop_duplicates(["id_a", "id_b"])
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def embedding_neardup_pairs_lsh(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_tables: int = 12,
+    n_planes: int = 10,
+    seed: int = 42,
+    max_bucket: int = 4096,
+) -> pd.DataFrame:
+    """Approximate near-dup pair mining via random-hyperplane LSH
+    (Charikar 2002): per-batch signature computation, ONE shuffle of
+    (table, sig, id, vec) rows, within-bucket exact-cosine verification
+    in distributed ``map_groups`` — no all-pairs term, no driver-side
+    vector materialization. Recall grows with n_tables; collision prob
+    per table is (1 - θ/π)^n_planes for angle θ."""
+    first = ds.take(1)
+    if not first:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+    dim = len(first[0][vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    planes_ref = ray.put(planes)
+    weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        P = ray.get(planes_ref)
+        X = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        # (n, tables, planes) sign bits -> (n, tables) packed signatures
+        proj = np.einsum("nd,tpd->ntp", X, P) > 0
+        sigs = (proj.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
+        n, t = len(df), P.shape[0]
+        return pd.DataFrame(
+            {
+                "table": np.tile(np.arange(t, dtype=np.int64), n),
+                "sig": sigs.astype(np.int64).ravel(),
+                "id": np.repeat(df[id_col].to_numpy(), t),
+                "vec": [v for v in X for _ in range(t)],
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2 or len(g) > max_bucket:  # hot-bucket guard
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = g["id"].to_numpy()
+        X = np.stack(g["vec"].to_numpy())
+        S = X @ X.T
+        S[np.tril_indices_from(S)] = -2.0
+        ai, bj = np.nonzero(S >= threshold)
+        id_a, id_b = ids[ai], ids[bj]
+        keep = id_a != id_b
+        id_a, id_b, cos = id_a[keep], id_b[keep], S[ai, bj][keep]
+        swap = id_a > id_b
+        id_a[swap], id_b[swap] = id_b[swap], id_a[swap]
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cos})
+
+    pairs = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(sig, batch_format="pandas")
+        .groupby(["table", "sig"])
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(pairs):
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+    pairs = pairs.drop_duplicates(["id_a", "id_b"])
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -113,34 +113,42 @@ class LangId:
 
 
 def rolling_fingerprint(texts: pd.Series, window: int = 8, keep: int = 4) -> list[list[int]]:
-    """Winnowing-style document fingerprint: polynomial rolling hash over
-    byte windows, keep the ``keep`` smallest distinct hashes (sorted).
-    Deterministic; int64-safe (mod 2^61-1)."""
-    MOD = (1 << 61) - 1
-    BASE = 257
+    """Winnowing-style document fingerprint: every ``window``-byte window
+    is hashed with a weighted-sum + SplitMix64 finalizer (the same kernel
+    family as stages/dedup.char_shingles_u64), keep the ``keep`` smallest
+    distinct hashes (sorted). Fully numpy — sliding_window_view over the
+    document bytes, no per-byte Python. Deterministic; values masked to
+    63 bits so they stay int64-safe."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from fairy_core_ray.functions.hashing import splitmix64
+
+    MASK63 = np.uint64((1 << 63) - 1)
+    weights = np.uint64(2654435761) ** np.arange(window, dtype=np.uint64)
     out: list[list[int]] = []
-    pw = pow(BASE, window - 1, MOD)
     for t in texts.fillna("").astype(str):
-        b = t.encode("utf-8")
-        if len(b) < window:
-            out.append([hash_bytes(b)] if b else [])
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(b) == 0:
+            out.append([])
             continue
-        h = 0
-        hashes = set()
-        for i, c in enumerate(b):
-            if i >= window:
-                h = (h - b[i - window] * pw) % MOD
-            h = (h * BASE + c) % MOD
-            if i >= window - 1:
-                hashes.add(h)
-        out.append(sorted(hashes)[:keep])
+        with np.errstate(over="ignore"):
+            if len(b) < window:
+                h = splitmix64(
+                    np.array([(b.astype(np.uint64) * weights[: len(b)]).sum()])
+                )
+            else:
+                win = sliding_window_view(b, window).astype(np.uint64)
+                h = splitmix64((win * weights).sum(axis=1))
+        hs = np.unique(h & MASK63)  # sorted distinct
+        out.append([int(x) for x in hs[:keep]])
     return out
 
 
 def hash_bytes(b: bytes) -> int:
-    MOD = (1 << 61) - 1
-    BASE = 257
-    h = 0
-    for c in b:
-        h = (h * BASE + c) % MOD
-    return h
+    """Single-value companion of rolling_fingerprint's short-doc path."""
+    from fairy_core_ray.functions.hashing import splitmix64
+
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+    weights = np.uint64(2654435761) ** np.arange(len(arr), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return int(splitmix64(np.array([(arr * weights).sum()]))[0] & np.uint64((1 << 63) - 1))

@@ -205,3 +205,75 @@ class TestText:
         feats = ts.quality_features(pd.Series(["good plain text with words here"] * 3))
         q = ts.quality_score(feats)
         assert ((q >= 0) & (q <= 1)).all()
+
+
+class TestSimHashGuards:
+    def test_blank_docs_skipped(self):
+        """Empty/whitespace docs must not flood the 0-bucket or report
+        hamming-0 pairs among themselves."""
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(8, dtype=np.int64),
+                "text": ["", "   ", None, "", "alpha beta gamma", "alpha beta gamma", "x", "\t"],
+            }
+        )
+        pairs = dd.simhash_pairs(rd.from_pandas(df), max_hamming=3)
+        got = set(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
+        assert (4, 5) in got
+        blanks = {0, 1, 2, 3, 7}
+        assert not any(a in blanks or b in blanks for a, b in got)
+
+    def test_max_bucket_guard_drops_hot_bucket(self):
+        """A boilerplate corpus (all-identical docs) collides in every
+        band; max_bucket must cap the output instead of O(n^2) pairs."""
+        n = 40
+        df = pd.DataFrame(
+            {"doc_id": np.arange(n, dtype=np.int64), "text": ["same doc text"] * n}
+        )
+        pairs = dd.simhash_pairs(rd.from_pandas(df), max_bucket=10)
+        assert len(pairs) == 0  # every bucket is size 40 > 10 -> skipped
+        pairs2 = dd.simhash_pairs(rd.from_pandas(df), max_bucket=64)
+        assert len(pairs2) == n * (n - 1) // 2
+
+
+class TestEmbeddingNearDup:
+    @pytest.fixture(scope="class")
+    def vecs(self):
+        rng = np.random.default_rng(7)
+        X = rng.standard_normal((400, 24))
+        # plant 5 near-dup pairs: small perturbations
+        for i in range(5):
+            X[200 + i] = X[i] + 0.05 * rng.standard_normal(24)
+        return pd.DataFrame(
+            {"vec_id": np.arange(400, dtype=np.int64), "embedding": list(X)}
+        )
+
+    def brute(self, vecs, threshold):
+        X = np.stack(vecs["embedding"].to_numpy())
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = Xn @ Xn.T
+        out = set()
+        for i in range(len(X)):
+            for j in range(i + 1, len(X)):
+                if S[i, j] >= threshold:
+                    out.add((i, j))
+        return out
+
+    def test_exact_block_pair_matches_bruteforce(self, vecs):
+        ds = rd.from_pandas(vecs)
+        pairs = dd.embedding_neardup_pairs(ds, threshold=0.9)
+        got = set(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
+        assert got == self.brute(vecs, 0.9)
+        assert len(got) >= 5  # the planted pairs are found
+
+    def test_lsh_recall_vs_exact(self, vecs):
+        ds = rd.from_pandas(vecs)
+        exact = self.brute(vecs, 0.9)
+        approx = dd.embedding_neardup_pairs_lsh(
+            ds, threshold=0.9, n_tables=16, n_planes=8
+        )
+        got = set(zip(approx["id_a"].astype(int), approx["id_b"].astype(int)))
+        # every reported pair is a TRUE pair (verification is exact) ...
+        assert all(p in exact for p in got)
+        # ... and recall is high for near-dup-grade cosine at 16 tables
+        assert len(got & exact) / max(1, len(exact)) >= 0.8

@@ -190,3 +190,47 @@ def test_url_and_remediation_parity(tmp_path):
     ours = normalize(our_run(inputs, rp, "inline.yml"))
     ref = normalize(ref_run(inputs, rp, "inline.yml"))
     assert ours == ref
+
+
+def test_duplicate_rule_ids_parity(tmp_path):
+    """Rulepacks with duplicate rule ids are legal input: each entry must
+    be evaluated independently (results keyed by position, not id)."""
+    csv = tmp_path / "dupids.csv"
+    csv.write_text(
+        "name,qty\n"
+        "alice,5\n"
+        " ,20\n"
+        "bob,-3\n"
+        ",7\n"
+    )
+    rp = {
+        "meta": {"name": "dup-ids", "version": "0.0.1"},
+        "rules": [
+            {
+                "id": "same_id",
+                "type": "non_empty_trimmed",
+                "severity": "fail",
+                "config": {"pattern": "dupids.csv", "column": "name"},
+            },
+            {
+                "id": "same_id",
+                "type": "range",
+                "severity": "warn",
+                "config": {"pattern": "dupids.csv", "column": "qty", "min": 0, "max": 10},
+            },
+            {
+                "id": "same_id",
+                "type": "range",
+                "severity": "fail",
+                "config": {"pattern": "dupids.csv", "column": "qty", "min": -100, "max": 6},
+            },
+        ],
+    }
+    inputs = {"default": str(csv)}
+    ours = normalize(our_run(inputs, rp, "inline.yml"))
+    ref = normalize(ref_run(inputs, rp, "inline.yml"))
+    assert ours == ref
+    # and the three same-id results are genuinely distinct
+    rules = ours["resources"][0]["rules"]
+    assert len(rules) == 3
+    assert len({repr(r["evidence"]) for r in rules}) == 3

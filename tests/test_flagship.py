@@ -141,3 +141,17 @@ def test_per_row_invariant_decode_psnr_and_caption(images_path):
             assert codecs.psnr(orig, pix) >= 40.0
         else:
             np.testing.assert_array_equal(orig, pix)
+
+
+def test_dup_key_publish_failure_propagates(images_path, monkeypatch):
+    """If the dup-key scan fails, the pipeline must FAIL (with the scan's
+    error as cause), not hang forever on the unpublished broadcast."""
+    from fairy_core_ray.pipelines import flagship as fmod
+
+    def boom(path):
+        raise ValueError("injected dup-scan failure")
+
+    monkeypatch.setattr(fmod, "_dup_keys", boom)
+    res = fmod.flagship(images_path)
+    with pytest.raises(Exception, match="dup"):
+        res["assignments"].count()
