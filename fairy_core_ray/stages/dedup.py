@@ -144,6 +144,122 @@ def _combine_band_key(band: np.ndarray, bh: np.ndarray) -> np.ndarray:
     return splitmix64(mixed).view(np.int64)
 
 
+# Below this many documents the whole (band, bh, id) sketch table —
+# bands x docs tiny rows — is pulled once to the driver and the bucket
+# count / collision filter / pair enumeration run as local numpy.
+# Above it, bucket counts fold distributedly and a second filtered pass
+# selects collided rows (the shuffle still only moves sketch rows).
+# Rationale: every extra Ray execution costs ~0.5-1.5 s of fixed
+# overhead at 32 CPUs — 3 executions of sub-second work is slower than
+# one execution plus a 100k-row local fold.
+SMALL_SKETCH_DOCS = 500_000
+
+
+def _filter_buckets(sk: pd.DataFrame, max_bucket: int) -> tuple[pd.DataFrame, np.ndarray]:
+    """Keep sketch rows in buckets of size in (1, max_bucket]; returns
+    (filtered rows, their combined bucket key), both bucket-sorted."""
+    comb = _combine_band_key(sk["band"].to_numpy(np.int64), sk["bh"].to_numpy(np.int64))
+    order = np.argsort(comb, kind="stable")
+    comb = comb[order]
+    starts = np.flatnonzero(np.r_[True, comb[1:] != comb[:-1]])
+    sizes = np.diff(np.r_[starts, len(comb)])
+    per_row_size = np.repeat(sizes, sizes)
+    keep = (per_row_size > 1) & (per_row_size <= max_bucket)
+    return sk.iloc[order[keep]], comb[keep]
+
+
+def _bucket_bounds(comb_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    starts = np.flatnonzero(np.r_[True, comb_sorted[1:] != comb_sorted[:-1]])
+    return starts, np.r_[starts[1:], len(comb_sorted)]
+
+
+def _candidate_pairs(ids_all: np.ndarray, comb_sorted: np.ndarray) -> set[tuple]:
+    """Distinct unordered id pairs per bucket (bucket-sorted input)."""
+    starts, ends = _bucket_bounds(comb_sorted)
+    pairs: set[tuple] = set()
+    for s, e in zip(starts, ends):
+        ids = np.unique(ids_all[s:e])
+        if len(ids) < 2:
+            continue
+        iu, ju = np.triu_indices(len(ids), 1)
+        pairs.update(zip(ids[iu].tolist(), ids[ju].tolist()))
+    return pairs
+
+
+def _fetch_texts(ds: rd.Dataset, ids: set, id_col: str, text_col: str) -> dict:
+    """{id: text} for a (small) candidate id set via a broadcast-filter
+    scan — the only content fetched during verification."""
+    ref = ray.put(ids)
+
+    def fetch(df: pd.DataFrame) -> pd.DataFrame:
+        wanted = ray.get(ref)
+        return df[df[id_col].isin(wanted)][[id_col, text_col]]
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(fetch, batch_format="pandas")
+        .to_pandas()
+        .set_index(id_col)[text_col]
+        .to_dict()
+    )
+
+
+@ray.remote
+def _jaccard_chunk(texts: dict, pairs_chunk: list, gram_batch_fn, gram_arg: int, seed: int):
+    """Exact jaccard for one chunk of candidate pairs. Gram arrays
+    (sorted-unique u64) are computed ONCE per distinct doc in the chunk
+    with the batch kernel, then pairs intersect with numpy."""
+    ids = sorted({i for p in pairs_chunk for i in p})
+    arrs = gram_batch_fn(
+        pd.Series([str(texts.get(i, "")) for i in ids]), gram_arg, seed
+    )
+    cache = dict(zip(ids, arrs))
+    out = []
+    for a, b in pairs_chunk:
+        A, B = cache[a], cache[b]
+        if not len(A) and not len(B):
+            out.append((a, b, 1.0))
+            continue
+        inter = np.intersect1d(A, B, assume_unique=True).size
+        union = len(A) + len(B) - inter
+        out.append((a, b, inter / union if union else 0.0))
+    return out
+
+
+def _verified_jaccard_pairs(
+    ds: rd.Dataset,
+    pairs: set[tuple],
+    *,
+    id_col: str,
+    text_col: str,
+    gram_fn,
+    gram_arg: int,
+    seed: int,
+    threshold: float,
+) -> pd.DataFrame:
+    """Distributed exact-jaccard verification: candidate texts broadcast
+    once, pairs split into contiguous chunks (sorted, so chunks share
+    left ids and the per-task gram cache hits), one Ray task each."""
+    texts = _fetch_texts(ds, {i for p in pairs for i in p}, id_col, text_col)
+    tref = ray.put(texts)
+    ordered = sorted(pairs)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nchunk = max(1, min(ncpu * 2, (len(ordered) + 255) // 256))
+    bounds = np.linspace(0, len(ordered), nchunk + 1).astype(int)
+    tasks = [
+        _jaccard_chunk.remote(tref, ordered[s:e], gram_fn, gram_arg, seed)
+        for s, e in zip(bounds[:-1], bounds[1:])
+        if e > s
+    ]
+    rows = [r for chunk in ray.get(tasks) for r in chunk]
+    df = pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+    return df[df["jaccard"] >= threshold].reset_index(drop=True)
+
+
+def _char_gram_batch(texts: pd.Series, k: int, seed: int) -> list[np.ndarray]:
+    return [char_shingles_u64(t, k) for t in texts.fillna("").astype(str)]
+
+
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     a = hash_u64(np.arange(num_perm, dtype=np.int64), seed) | np.uint64(1)
     b = hash_u64(np.arange(num_perm, dtype=np.int64), seed ^ 0xB0B)
@@ -165,23 +281,42 @@ def minhash_signature(shingles: np.ndarray, num_perm: int, seed: int = 42) -> np
 
 
 def minhash_signatures_batch(
-    shingle_sets: list[np.ndarray], num_perm: int, seed: int = 42
+    shingle_sets: list[np.ndarray],
+    num_perm: int,
+    seed: int = 42,
+    max_concat: int = 1 << 14,
 ) -> np.ndarray:
-    """(n_docs, num_perm) signatures in ONE vectorized pass: concatenate
-    all shingles, hash the (P, S_total) matrix once, segment-min per doc
-    via minimum.reduceat. Identical output to per-doc minhash_signature."""
+    """(n_docs, num_perm) signatures, vectorized across documents:
+    concatenate shingles, hash a (P, S_chunk) matrix, segment-min per doc
+    via minimum.reduceat. Identical output to per-doc minhash_signature.
+
+    Chunked by ``max_concat`` shingles so the hash matrix stays
+    cache-sized (P × 16k × 8 B ≈ 8 MB at P=64) — an unchunked pass
+    over a large batch allocates multi-GB temporaries and thrashes
+    (measured 64 s for 5k docs of ~3k shingles; chunked: <2 s)."""
     sizes = np.array([len(s) for s in shingle_sets], dtype=np.int64)
     out = np.full((len(shingle_sets), num_perm), np.iinfo(np.uint64).max, np.uint64)
     nonempty = np.flatnonzero(sizes > 0)
     if not len(nonempty):
         return out
-    concat = np.concatenate([shingle_sets[i] for i in nonempty])
     a, b = _perm_params(num_perm, seed)
-    with np.errstate(over="ignore"):
-        vals = a[:, None] * concat[None, :] + b[:, None]  # (P, S_total), wraps
-    starts = np.r_[0, np.cumsum(sizes[nonempty])[:-1]]
-    mins = np.minimum.reduceat(vals, starts, axis=1)  # (P, n_nonempty)
-    out[nonempty] = mins.T
+    ne_sizes = sizes[nonempty]
+    # chunk boundaries over the nonempty docs (each chunk <= max_concat
+    # shingles, always at least one doc)
+    csum = np.cumsum(ne_sizes)
+    lo = 0
+    while lo < len(nonempty):
+        base = csum[lo - 1] if lo else 0
+        hi = int(np.searchsorted(csum, base + max_concat, side="right"))
+        hi = max(hi, lo + 1)
+        idxs = nonempty[lo:hi]
+        concat = np.concatenate([shingle_sets[i] for i in idxs])
+        with np.errstate(over="ignore"):
+            vals = a[:, None] * concat[None, :]  # (P, S_chunk), wraps
+            vals += b[:, None]
+        starts = np.r_[0, np.cumsum(ne_sizes[lo:hi])[:-1]]
+        out[idxs] = np.minimum.reduceat(vals, starts, axis=1).T
+        lo = hi
     return out
 
 
@@ -236,73 +371,51 @@ def minhash_lsh_pairs(
 
     sketch_src = ds.select_columns([id_col, text_col])
     sketch_ds = sketch_src.map_batches(sketch, batch_format="pandas")
-    # Sketch rows are tiny (bands x 16 bytes per doc). Up to ~10M docs,
-    # materialize them once and reuse for both the collision count and
-    # the collided-row selection; beyond that, fall back to the two-pass
-    # recompute (the shuffle still only ever moves (band, bh) pairs).
-    materialized = None
     try:
-        if ds.count() <= 10_000_000:
-            materialized = sketch_ds.materialize()
-            sketch_ds = materialized
+        n_docs = ds.count()  # metadata-only on parquet reads
     except Exception:
-        pass
-    partials = sketch_ds.map_batches(
-        lambda df: df.groupby(["band", "bh"], sort=False).size().rename("n").reset_index(),
-        batch_format="pandas",
-    )
-    folded = _fold_counts(partials, ["band", "bh"])
-    counts = folded[(folded["n"] > 1) & (folded["n"] <= max_bucket)]  # hot-bucket guard
-    if counts.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    collided = np.sort(
-        _combine_band_key(counts["band"].to_numpy(np.int64), counts["bh"].to_numpy(np.int64))
-    )
-    cref = ray.put(collided)
-
-    def keep_collided(out: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(cref)
-        comb = _combine_band_key(out["band"].to_numpy(np.int64), out["bh"].to_numpy(np.int64))
-        # numpy bool mask (NOT a list: df[[]] would select zero COLUMNS)
-        return out[np.isin(comb, keys)]
-
-    if materialized is not None:
-        second = materialized.map_batches(keep_collided, batch_format="pandas")
+        n_docs = None
+    if n_docs is not None and n_docs <= SMALL_SKETCH_DOCS:
+        # one distributed sketch pass; bucket count + collision filter
+        # run locally on the tiny (bands x docs)-row table
+        sk, comb = _filter_buckets(sketch_ds.to_pandas(), max_bucket)
     else:
-        second = sketch_src.map_batches(
-            lambda df: keep_collided(sketch(df)), batch_format="pandas"
+        partials = sketch_ds.map_batches(
+            lambda df: df.groupby(["band", "bh"], sort=False).size().rename("n").reset_index(),
+            batch_format="pandas",
         )
-    sk = second.to_pandas()
-    pairs: set[tuple] = set()
-    for (_b, _bh), g in sk.groupby(["band", "bh"]):
-        ids = sorted(set(g["id"]))
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
+        folded = _fold_counts(partials, ["band", "bh"])
+        counts = folded[(folded["n"] > 1) & (folded["n"] <= max_bucket)]  # hot-bucket guard
+        if counts.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        collided = np.sort(
+            _combine_band_key(counts["band"].to_numpy(np.int64), counts["bh"].to_numpy(np.int64))
+        )
+        cref = ray.put(collided)
+
+        def keep_collided(out: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(cref)
+            comb = _combine_band_key(out["band"].to_numpy(np.int64), out["bh"].to_numpy(np.int64))
+            # numpy bool mask (NOT a list: df[[]] would select zero COLUMNS)
+            return out[np.isin(comb, keys)]
+
+        sk = sketch_src.map_batches(
+            lambda df: keep_collided(sketch(df)), batch_format="pandas"
+        ).to_pandas()
+        sk, comb = _filter_buckets(sk, max_bucket)
+    pairs = _candidate_pairs(sk["id"].to_numpy(), comb)
     if not pairs:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-
-    cand_ids = {i for p in pairs for i in p}
-    ref = ray.put(cand_ids)
-
-    def fetch(df: pd.DataFrame) -> pd.DataFrame:
-        wanted = ray.get(ref)
-        return df[df[id_col].isin(wanted)][[id_col, text_col]]
-
-    texts = (
-        ds.select_columns([id_col, text_col])
-        .map_batches(fetch, batch_format="pandas")
-        .to_pandas()
-        .set_index(id_col)[text_col]
-        .to_dict()
+    return _verified_jaccard_pairs(
+        ds,
+        pairs,
+        id_col=id_col,
+        text_col=text_col,
+        gram_fn=_char_gram_batch,
+        gram_arg=shingle_k,
+        seed=seed,
+        threshold=threshold,
     )
-    sh_cache = {i: set(char_shingles_u64(str(texts.get(i, "")), shingle_k).tolist()) for i in cand_ids}
-    out = [
-        (a, b, jaccard(sh_cache[a], sh_cache[b]))
-        for a, b in sorted(pairs)
-    ]
-    df = pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
-    return df[df["jaccard"] >= threshold].reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -344,10 +457,13 @@ def simhash64(texts: pd.Series, seed: int = 42) -> np.ndarray:
     signs = (
         ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1
     )  # (n_distinct_tokens, 64) in {-1, +1}
-    votes = np.zeros((n, 64), dtype=np.int64)
-    np.add.at(votes, doc_ids, signs[codes])
-    nz = lens > 0
-    out[nz] = ((votes[nz] > 0).astype(np.uint64) << bit_idx[None, :]).sum(
+    # doc_ids is sorted (tokens are emitted doc-major), so per-doc vote
+    # sums are contiguous segments: one add.reduceat pass beats the
+    # unbuffered np.add.at scatter ~5x
+    nz = np.flatnonzero(lens > 0)
+    seg_starts = np.r_[0, np.cumsum(lens[nz])[:-1]]
+    votes = np.add.reduceat(signs[codes], seg_starts, axis=0)  # (n_nonzero, 64)
+    out[nz] = ((votes > 0).astype(np.uint64) << bit_idx[None, :]).sum(
         axis=1, dtype=np.uint64
     )
     return out
@@ -389,43 +505,53 @@ def simhash_pairs(
         )
 
     sketch_src = ds.select_columns([id_col, text_col])
-    partials = sketch_src.map_batches(
-        lambda df: sketch(df).groupby(["band", "bh"], sort=False).size().rename("n").reset_index(),
-        batch_format="pandas",
-    )
-    folded = _fold_counts(partials, ["band", "bh"])
-    counts = folded[(folded["n"] > 1) & (folded["n"] <= max_bucket)]  # hot-bucket guard
-    if counts.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-    collided = np.sort(
-        _combine_band_key(counts["band"].to_numpy(np.int64), counts["bh"].to_numpy(np.int64))
-    )
-    cref = ray.put(collided)
+    sketch_ds = sketch_src.map_batches(sketch, batch_format="pandas")
+    try:
+        n_docs = ds.count()  # metadata-only on parquet reads
+    except Exception:
+        n_docs = None
+    if n_docs is not None and n_docs <= SMALL_SKETCH_DOCS:
+        sk, comb = _filter_buckets(sketch_ds.to_pandas(), max_bucket)
+    else:
+        partials = sketch_ds.map_batches(
+            lambda df: df.groupby(["band", "bh"], sort=False).size().rename("n").reset_index(),
+            batch_format="pandas",
+        )
+        folded = _fold_counts(partials, ["band", "bh"])
+        counts = folded[(folded["n"] > 1) & (folded["n"] <= max_bucket)]  # hot-bucket guard
+        if counts.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        collided = np.sort(
+            _combine_band_key(counts["band"].to_numpy(np.int64), counts["bh"].to_numpy(np.int64))
+        )
+        cref = ray.put(collided)
 
-    def sketch_filtered(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(cref)
-        out = sketch(df)
-        comb = _combine_band_key(out["band"].to_numpy(np.int64), out["bh"].to_numpy(np.int64))
-        return out[np.isin(comb, keys)]
+        def sketch_filtered(df: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(cref)
+            out = sketch(df)
+            comb = _combine_band_key(out["band"].to_numpy(np.int64), out["bh"].to_numpy(np.int64))
+            return out[np.isin(comb, keys)]
 
-    sk = sketch_src.map_batches(sketch_filtered, batch_format="pandas").to_pandas()
-    pairs: set[tuple] = set()
+        sk = sketch_src.map_batches(sketch_filtered, batch_format="pandas").to_pandas()
+        sk, comb = _filter_buckets(sk, max_bucket)
+    # per-bucket vectorized verification: one popcount matrix per bucket
+    # instead of a Python loop with an array allocation per pair
+    ids_all, sh_all = sk["id"].to_numpy(), sk["sh"].to_numpy(np.int64)
+    starts, ends = _bucket_bounds(comb)
     hams: dict[tuple, int] = {}
-    for (_b, _bh), g in sk.groupby(["band", "bh"]):
-        recs = sorted(set(zip(g["id"], g["sh"])))
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                (ia, ha), (ib, hb) = recs[i], recs[j]
-                if ia == ib:
-                    continue
-                key = (ia, ib) if ia < ib else (ib, ia)
-                if key in hams:
-                    continue
-                d = int(hamming64(np.array([ha], np.int64), np.array([hb], np.int64))[0])
-                hams[key] = d
-                if d <= max_hamming:
-                    pairs.add(key)
-    out = sorted(pairs)
+    for s, e in zip(starts, ends):
+        bid, first_idx = np.unique(ids_all[s:e], return_index=True)
+        m = len(bid)
+        if m < 2:
+            continue
+        bsh = sh_all[s:e][first_idx]
+        D = hamming64(bsh[:, None], bsh[None, :])
+        iu, ju = np.triu_indices(m, 1)
+        d = D[iu, ju]
+        ok = d <= max_hamming
+        for a, b, h in zip(bid[iu[ok]].tolist(), bid[ju[ok]].tolist(), d[ok].tolist()):
+            hams[(a, b) if a < b else (b, a)] = int(h)
+    out = sorted(hams)
     return pd.DataFrame(
         {
             "id_a": [a for a, _ in out],
@@ -452,82 +578,131 @@ def ngram_jaccard_pairs(
 ) -> pd.DataFrame:
     """Word n-gram Jaccard near-dup: candidates share at least one
     n-gram whose posting list is <= max_posting (rare-gram inverted
-    index); verified with exact Jaccard over full n-gram sets."""
+    index); verified with exact Jaccard over full n-gram sets.
 
-    def grams(text: str) -> set[int]:
-        toks = text.split()
-        if len(toks) < n:
-            return {hash_bytes_int(" ".join(toks), seed)} if toks else set()
-        return {
-            hash_bytes_int(" ".join(toks[i : i + n]), seed)
-            for i in range(len(toks) - n + 1)
-        }
+    Gram hashing is batch-vectorized: tokens factorized once per batch,
+    each distinct token hashed once (vectorized SipHash), n-gram hashes
+    folded from consecutive token hashes — no per-gram hashlib calls."""
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        g_col, id_out = [], []
-        for doc_id, text in zip(df[id_col], df[text_col].fillna("").astype(str)):
-            for g in grams(text):
-                g_col.append(g)
-                id_out.append(doc_id)
-        return pd.DataFrame({"g": np.array(g_col, dtype=np.uint64), "id": id_out})
+        garrs = word_ngram_arrays(df[text_col], n, seed)
+        lens = np.array([len(g) for g in garrs], np.int64)
+        g = np.concatenate(garrs) if lens.sum() else np.empty(0, np.uint64)
+        return pd.DataFrame({"g": g, "id": np.repeat(df[id_col].to_numpy(), lens)})
 
     posting_src = ds.select_columns([id_col, text_col])
-    partials = posting_src.map_batches(
-        lambda df: explode(df).groupby("g", sort=False).size().rename("n").reset_index(),
-        batch_format="pandas",
-    )
-    folded = _fold_counts(partials, ["g"])
-    counts = folded[(folded["n"] > 1) & (folded["n"] <= max_posting)]  # rare-gram guard
-    if counts.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    collided = np.sort(counts["g"].to_numpy(np.uint64))
-    cref = ray.put(collided)
+    posting_ds = posting_src.map_batches(explode, batch_format="pandas")
+    try:
+        n_docs = ds.count()
+    except Exception:
+        n_docs = None
+    if n_docs is not None and n_docs <= SMALL_SKETCH_DOCS // 5:
+        posted = posting_ds.to_pandas()
+        g_all = posted["g"].to_numpy(np.uint64)
+        ids_all = posted["id"].to_numpy()
+        # PREFIX FILTERING (Chaudhuri et al. 2006 / Xiao et al. PPJoin):
+        # index only each doc's (|G| - ceil(t*|G|) + 1) globally-rarest
+        # grams — any pair with Jaccard >= t must collide within both
+        # prefixes, so recall stays EXACT while the inverted index (and
+        # the candidate-pair count, measured 1.1M -> ~100k here) shrinks.
+        _, inv, cnt = np.unique(g_all, return_inverse=True, return_counts=True)
+        gcnt = cnt[inv]
+        dcodes, _ = pd.factorize(ids_all, sort=False)
+        order = np.lexsort((g_all, gcnt, dcodes))  # per doc: rare grams first
+        doc_sizes = np.bincount(dcodes)
+        starts = np.r_[0, np.cumsum(doc_sizes)[:-1]]
+        rank = np.arange(len(g_all)) - np.repeat(starts, doc_sizes)
+        psize = doc_sizes - np.ceil(threshold * doc_sizes).astype(np.int64) + 1
+        in_prefix = rank < np.repeat(psize, doc_sizes)
+        gp, idp = g_all[order][in_prefix], ids_all[order][in_prefix]
+        # hot-gram guard over the PREFIX index, then bucket-sort
+        o2 = np.argsort(gp, kind="stable")
+        gp, idp = gp[o2], idp[o2]
+        bstarts = np.flatnonzero(np.r_[True, gp[1:] != gp[:-1]])
+        bsizes = np.diff(np.r_[bstarts, len(gp)])
+        per_row = np.repeat(bsizes, bsizes)
+        keep = (per_row > 1) & (per_row <= max_posting)
+        ids_sorted = idp[keep]
+        comb = gp[keep].view(np.int64)
+    else:
+        partials = posting_ds.map_batches(
+            lambda df: df.groupby("g", sort=False).size().rename("n").reset_index(),
+            batch_format="pandas",
+        )
+        folded = _fold_counts(partials, ["g"])
+        counts = folded[(folded["n"] > 1) & (folded["n"] <= max_posting)]  # rare-gram guard
+        if counts.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        collided = np.sort(counts["g"].to_numpy(np.uint64))
+        cref = ray.put(collided)
 
-    def explode_filtered(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(cref)
-        out = explode(df)
-        # numpy bool mask (a list mask on an empty batch would select
-        # zero COLUMNS and break block schema unification)
-        return out[np.isin(out["g"].to_numpy(np.uint64), keys)]
+        def explode_filtered(df: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(cref)
+            out = explode(df)
+            # numpy bool mask (a list mask on an empty batch would select
+            # zero COLUMNS and break block schema unification)
+            return out[np.isin(out["g"].to_numpy(np.uint64), keys)]
 
-    posted = posting_src.map_batches(explode_filtered, batch_format="pandas").to_pandas()
-    pairs: set[tuple] = set()
-    for _g, grp in posted.groupby("g"):
-        ids = sorted(set(grp["id"]))
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
+        posted = posting_src.map_batches(explode_filtered, batch_format="pandas").to_pandas()
+        order = np.argsort(posted["g"].to_numpy(np.uint64), kind="stable")
+        ids_sorted = posted["id"].to_numpy()[order]
+        comb = posted["g"].to_numpy(np.uint64)[order].view(np.int64)
+    pairs = _candidate_pairs(ids_sorted, comb)
     if not pairs:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    cand_ids = {i for p in pairs for i in p}
-    ref = ray.put(cand_ids)
-
-    def fetch(df: pd.DataFrame) -> pd.DataFrame:
-        wanted = ray.get(ref)
-        return df[df[id_col].isin(wanted)][[id_col, text_col]]
-
-    texts = (
-        ds.select_columns([id_col, text_col])
-        .map_batches(fetch, batch_format="pandas")
-        .to_pandas()
-        .set_index(id_col)[text_col]
-        .to_dict()
+    return _verified_jaccard_pairs(
+        ds,
+        pairs,
+        id_col=id_col,
+        text_col=text_col,
+        gram_fn=_word_gram_batch,
+        gram_arg=n,
+        seed=seed,
+        threshold=threshold,
     )
-    gsets = {i: grams(str(texts.get(i, ""))) for i in cand_ids}
-    rows = [
-        (a, b, jaccard(gsets[a], gsets[b]))
-        for a, b in sorted(pairs)
-    ]
-    df = pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
-    return df[df["jaccard"] >= threshold].reset_index(drop=True)
 
 
-def hash_bytes_int(s: str, seed: int = 42) -> int:
-    return int.from_bytes(
-        hashlib.blake2b(s.encode("utf-8"), digest_size=8,
-                        key=seed.to_bytes(8, "little")).digest(),
-        "little",
+def word_ngram_arrays(texts: pd.Series, n: int, seed: int = 42) -> list[np.ndarray]:
+    """Sorted-unique u64 word-n-gram hashes per document, vectorized
+    across the batch: one factorize + one vectorized token hash, then a
+    fold over n shifted hash arrays per document. Documents shorter than
+    n tokens hash their full token sequence as a single gram."""
+    import itertools
+
+    s = texts.fillna("").astype(str)
+    tok_lists = s.str.split()
+    lens = tok_lists.map(len).to_numpy(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return [np.empty(0, np.uint64) for _ in range(len(s))]
+    flat = np.fromiter(itertools.chain.from_iterable(tok_lists), dtype=object, count=total)
+    codes, uniques = pd.factorize(flat, sort=False)
+    hs = pd.util.hash_array(
+        np.asarray(uniques, dtype=object),
+        hash_key=f"{seed & 0xFFFFFFFFFFFFFFFF:016x}"[:16],
+        categorize=False,
     )
+    tokh = hs[codes]
+    offs = np.r_[0, np.cumsum(lens)]
+    out: list[np.ndarray] = []
+    prime = np.uint64(0x100000001B3)
+    for i in range(len(s)):
+        th = tokh[offs[i] : offs[i + 1]]
+        if len(th) == 0:
+            out.append(np.empty(0, np.uint64))
+            continue
+        w = min(n, len(th))
+        m = len(th) - w + 1
+        acc = th[:m].copy()
+        with np.errstate(over="ignore"):
+            for k in range(1, w):
+                acc = splitmix64(acc * prime ^ th[k : m + k])
+        out.append(np.unique(acc))
+    return out
+
+
+def _word_gram_batch(texts: pd.Series, n: int, seed: int) -> list[np.ndarray]:
+    return word_ngram_arrays(texts, n, seed)
 
 
 # ---------------------------------------------------------------------------
