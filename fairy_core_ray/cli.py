@@ -81,11 +81,16 @@ def cmd_preflight(args) -> int:
         save_last_codes,
     )
 
+    from fairy_core_ray.state.contracts import validate_manifest, validate_report
+
     report = run_preflight(args.rulepack, args.samples, args.files)
     ready = report["summary"]["submission_ready"]
     if args.out_dir:
         os.makedirs(os.path.join(args.out_dir, "artifacts"), exist_ok=True)
         rp_json = os.path.join(args.out_dir, "preflight_report.json")
+        # machine-validate against the shipped schema before writing
+        # (reference report_writer.py:120-122 contract)
+        validate_report(report)
         with open(rp_json, "w") as f:
             json.dump(report, f, indent=2, sort_keys=True)
         current = {
@@ -110,6 +115,7 @@ def cmd_preflight(args) -> int:
             ],
             created_at_utc=now_utc_iso_z(),
         )
+        validate_manifest(manifest)
         with open(os.path.join(args.out_dir, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
         inputs_manifest = {
@@ -126,6 +132,24 @@ def cmd_preflight(args) -> int:
     lv = report["summary"]["by_level"]
     print(f"pass={lv['pass']} warn={lv['warn']} fail={lv['fail']} ready={ready}")
     return 0 if ready else 1
+
+
+def cmd_export(args) -> int:
+    _init_ray()
+    from fairy_core_ray.state.export import NotSubmissionReady, export_submission
+
+    try:
+        res = export_submission(
+            export_dir=args.out_dir,
+            rulepack=args.rulepack,
+            samples=args.samples,
+            files=args.files,
+        )
+    except NotSubmissionReady as e:
+        print(f"EXPORT BLOCKED: {e}")
+        return 1
+    print(json.dumps(res, sort_keys=True))
+    return 0
 
 
 def cmd_tile(args) -> int:
@@ -159,6 +183,12 @@ def main(argv=None) -> int:
     f.add_argument("--files", required=True)
     f.add_argument("--out-dir")
 
+    e = sub.add_parser("export")
+    e.add_argument("--rulepack", required=True)
+    e.add_argument("--samples", required=True)
+    e.add_argument("--files", required=True)
+    e.add_argument("--out-dir", required=True)
+
     t = sub.add_parser("tile")
     t.add_argument("--images", required=True)
     t.add_argument("--out", required=True)
@@ -168,9 +198,12 @@ def main(argv=None) -> int:
     t.add_argument("--no-decode", action="store_true")
 
     args = p.parse_args(argv)
-    rc = {"validate": cmd_validate, "preflight": cmd_preflight, "tile": cmd_tile}[
-        args.cmd
-    ](args)
+    rc = {
+        "validate": cmd_validate,
+        "preflight": cmd_preflight,
+        "export": cmd_export,
+        "tile": cmd_tile,
+    }[args.cmd](args)
     import ray
 
     ray.shutdown()

@@ -104,6 +104,10 @@ def _dup_keys(images_path: str) -> tuple[np.ndarray, np.ndarray]:
     return dup_pdf["phash"].to_numpy()[order], dup_pdf["keep_idx"].to_numpy()[order]
 
 
+def _sidecar_exists(images_path: str) -> bool:
+    return os.path.isfile(os.path.join(images_path, "_phash_dups.idx"))
+
+
 def _total_cpus() -> int:
     try:
         return int(ray.cluster_resources().get("CPU", 8))
@@ -125,6 +129,68 @@ def _geo_pool() -> int:
     Floor of 1 keeps decode+geo strictly under the CPU count — a summed
     fixed-pool demand equal to the CPUs deadlocks the read stage."""
     return max(1, _total_cpus() // 4)
+
+
+# Max dup keys shipped as ONE broadcast object. Above this, the sorted
+# key array is range-partitioned into bucket objects: workers hold only
+# the tiny bucket-boundary array plus zero-copy plasma views of the
+# buckets a batch actually touches, so per-worker heap stays bounded
+# and the object store can spill cold buckets under adversarial dup
+# rates (the 10^12-row concern from SURVEY.md §7.3).
+BROADCAST_KEY_BUDGET = int(os.environ.get("FAIRY_BROADCAST_KEY_BUDGET", 20_000_000))
+
+
+def _publish_dup_keys(keys: tuple[np.ndarray, np.ndarray]):
+    """(sorted phashes, keep idx) -> broadcastable structure."""
+    ph, keep = keys
+    if len(ph) <= BROADCAST_KEY_BUDGET:
+        return ("flat", ray.put((ph, keep)))
+    n_buckets = -(-len(ph) // BROADCAST_KEY_BUDGET)
+    bounds, refs = [], []
+    for i in range(n_buckets):
+        s = i * len(ph) // n_buckets
+        e = (i + 1) * len(ph) // n_buckets
+        bounds.append(ph[s])
+        refs.append(ray.put((ph[s:e], keep[s:e])))
+    return ("bucketed", np.asarray(bounds, dtype=np.int64), refs)
+
+
+class _DupMarker:
+    """Keep-first marking against the published dup-key structure."""
+
+    def __init__(self, published):
+        self.kind = published[0]
+        if self.kind == "flat":
+            self.ph, self.keep = ray.get(published[1])
+        else:
+            _, self.bounds, self.refs = published
+            self._cache: dict[int, tuple] = {}  # zero-copy plasma views
+
+    def _bucket(self, i: int):
+        got = self._cache.get(i)
+        if got is None:
+            got = self._cache[i] = ray.get(self.refs[i])
+        return got
+
+    def first_mask(self, ph: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        first = np.ones(len(ph), dtype=bool)
+        if self.kind == "flat":
+            if len(self.ph):
+                pos = np.minimum(np.searchsorted(self.ph, ph), len(self.ph) - 1)
+                member = self.ph[pos] == ph
+                first = ~(member & (idx != self.keep[pos]))
+            return first
+        bidx = np.clip(np.searchsorted(self.bounds, ph, side="right") - 1, 0, None)
+        for b in np.unique(bidx):
+            sel = bidx == b
+            bph, bkeep = self._bucket(int(b))
+            if not len(bph):
+                continue
+            sub = ph[sel]
+            pos = np.minimum(np.searchsorted(bph, sub), len(bph) - 1)
+            member = bph[pos] == sub
+            first[sel] = ~(member & (idx[sel] != bkeep[pos]))
+        return first
 
 
 @ray.remote(num_cpus=0)
@@ -171,19 +237,13 @@ class GeoAssignStage:
             # the dup-key publisher failed; surface its error here instead
             # of silently proceeding without dedup
             raise RuntimeError("dup-key scan failed") from published
-        self.dup_ph, self.dup_keep = published
+        self.marker = _DupMarker(published)
         self.pip = PipJoiner(polys_ref)
         self.seed = seed
 
     def __call__(self, t: pa.Table) -> pa.Table:
         idx = image_index_from_ids(t)
-        first = np.ones(len(t), dtype=bool)
-        if len(self.dup_ph):
-            ph = t["phash"].to_numpy()
-            pos = np.searchsorted(self.dup_ph, ph)
-            pos_c = np.minimum(pos, max(len(self.dup_ph) - 1, 0))
-            member = self.dup_ph[pos_c] == ph
-            first = ~(member & (idx != self.dup_keep[pos_c]))
+        first = self.marker.first_mask(t["phash"].to_numpy(), idx)
         t = t.append_column("dup_first", pa.array(first, pa.bool_()))
         t = add_footprints(t, self.seed)
         t = add_cells(t)
@@ -268,9 +328,20 @@ def flagship(
     ds = validated_images(
         images_path, decode=decode, header_only=header_only, seed=seed
     )
-    # dup-key scan runs in a driver thread, published through a broadcast
-    # actor — it overlaps with the read/decode ramp instead of serially
-    # preceding the pipeline
+    if not dedup or _sidecar_exists(images_path):
+        # fast path: the ingest-time dup index (or no dedup) loads in
+        # milliseconds — plain ray.put, no broadcast actor spawn (an
+        # actor process costs ~0.5 s of fixed ramp per job)
+        keys = (
+            _dup_keys(images_path)
+            if dedup
+            else (np.array([], np.int64), np.array([], np.int64))
+        )
+        bc = ray.put(_publish_dup_keys(keys))
+        return _assemble(ds, bc, seed)
+    # slow path: the dup-key scan runs in a driver thread, published
+    # through a broadcast actor — it overlaps with the read/decode ramp
+    # instead of serially preceding the pipeline
     bc = _BroadcastOnce.remote()
 
     def _publish():
@@ -286,18 +357,25 @@ def flagship(
         except BaseException as e:  # noqa: BLE001
             bc.put.remote(e)
             return
-        bc.put.remote(keys)
+        bc.put.remote(_publish_dup_keys(keys))
 
     import threading
 
     threading.Thread(target=_publish, daemon=True).start()
+    return _assemble(ds, bc, seed)
+
+
+def _assemble(ds: rd.Dataset, bc, seed: int) -> dict[str, rd.Dataset]:
+    """Attach the geo stage + tile-stats aggregate to a validated stream.
+    ``bc`` is either a plain object ref or a _BroadcastOnce handle."""
     polys_ref = ray.put(tile_polygons())
+    bc_key = bc._actor_id.hex() if isinstance(bc, ray.actor.ActorHandle) else bc.hex()
 
     def geo_run(batch: pa.Table) -> pa.Table:
         # per-process cached (broadcast sides fetched once per worker);
         # task form fuses with the decode stage upstream
         stage = _cached_stage(
-            ("geo", bc._actor_id.hex(), polys_ref.hex(), seed),
+            ("geo", bc_key, polys_ref.hex(), seed),
             lambda: GeoAssignStage(bc, polys_ref, seed=seed),
         )
         return stage(batch)

@@ -325,26 +325,42 @@ def q_orders_by_year(sf_dir: str):
 
 def q_tpch_q1(sf_dir: str):
     """TPC-H Q1-style grouped aggregate with per-batch partial combine
-    (the shuffle moves one row per group per batch)."""
+    (the shuffle moves one row per group per batch). Partials are
+    Arrow-native: pyarrow.compute kernels + Table.group_by, zero
+    pandas conversion in the wide pass."""
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            disc_price=df["l_extendedprice"] * (1 - df["l_discount"]),
-            charge=df["l_extendedprice"] * (1 - df["l_discount"]) * (1 + df["l_tax"]),
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        charge = pc.multiply(disc, pc.add(1.0, t["l_tax"]))
+        work = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "disc_price": disc,
+                "charge": charge,
+            }
         )
-        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
-            p_qty=("l_quantity", "sum"),
-            p_base=("l_extendedprice", "sum"),
-            p_disc=("disc_price", "sum"),
-            p_charge=("charge", "sum"),
-            p_n=("l_quantity", "size"),
+        g = work.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("disc_price", "sum"),
+                ("charge", "sum"),
+                ([], "count_all"),
+            ]
         )
-        return g.reset_index()
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_charge", "p_n"]
+        )
 
     agg = (
         _t(sf_dir, "lineitem", cols)
-        .map_batches(partial, batch_format="pandas")
+        .map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             rd.aggregate.Sum("p_qty", alias_name="s_qty"),
@@ -403,21 +419,26 @@ def q_acctbal_by_nation(sf_dir: str):
 
 
 def q_events_hourly(sf_dir: str):
-    """tumbling-window aggregate: counts + value sums per (type, hour)."""
+    """tumbling-window aggregate: counts + value sums per (type, hour).
+    Arrow-native partials (int arithmetic on the cast timestamp +
+    Table.group_by), no pandas conversion in the wide pass."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        hour = (df["ts"].astype("int64") // 3_600_000_000) * 3600  # µs → s, floor hour
-        g = (
-            df.assign(hour_ts=hour)
-            .groupby(["event_type", "hour_ts"], sort=False)
-            .agg(p_n=("value", "size"), p_v=("value", "sum"))
-            .reset_index()
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(t["ts"], pa.int64())  # µs since epoch
+        hour = pc.multiply(pc.divide(us, 3_600_000_000), 3600)  # floor hour, sec
+        work = pa.table(
+            {"event_type": t["event_type"], "hour_ts": hour, "value": t["value"]}
         )
-        return g
+        g = work.group_by(["event_type", "hour_ts"]).aggregate(
+            [([], "count_all"), ("value", "sum")]
+        )
+        return g.rename_columns(["event_type", "hour_ts", "p_n", "p_v"])
 
     agg = (
         _t(sf_dir, "events", ["event_type", "ts", "value"])
-        .map_batches(partial, batch_format="pandas")
+        .map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "hour_ts"])
         .aggregate(
             rd.aggregate.Sum("p_n", alias_name="n_events"),
@@ -596,6 +617,28 @@ def q_embed_neardup(sf_dir: str):
     out = dd.embedding_neardup_pairs(emb, threshold=0.4)
     out = out.copy()
     if len(out):
+        out["cosine"] = out["cosine"].round(5)
+        out["id_a"] = out["id_a"].astype(np.int64)
+        out["id_b"] = out["id_b"].astype(np.int64)
+    else:
+        out = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+                "cosine": pd.Series([], dtype=np.float64),
+            }
+        )
+    return out
+
+
+def q_embed_neardup_lsh(sf_dir: str):
+    """hyperplane-LSH bucketed near-dup pairs (rows-only; recall vs the
+    exact block-pair miner is pytest-checked) — the web-scale path that
+    replaces the O(B²) block-pair term with one bucket shuffle."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = dd.embedding_neardup_pairs_lsh(emb, threshold=0.4, n_tables=12, n_planes=8)
+    if len(out):
+        out = out.copy()
         out["cosine"] = out["cosine"].round(5)
         out["id_a"] = out["id_a"].astype(np.int64)
         out["id_b"] = out["id_b"].astype(np.int64)
@@ -900,11 +943,54 @@ def q_cell_phash_knn(sf_dir: str):
     return knn_mod.cell_hamming_knn(ds, k=2)
 
 
+def q_url_check(sf_dir: str):
+    """C5/R5 url check against a DuckDB oracle: a deterministic URL
+    column is derived from doc_id (same CASE expression in numpy and
+    SQL), then the COMPILED url-check closure (stages/checks.compile_url,
+    reference rulepack_runner.py:663-696) flags invalid rows. The 6
+    synthesized forms cover valid http/https, the www.-prefix rewrite,
+    a disallowed scheme, a scheme-less string, and empty."""
+    from fairy_core_ray.stages.checks import compile_url
+
+    rule = {"id": "u1", "type": "url", "column": "url", "schemes": ["http", "https"]}
+    kind, fn, _meta = compile_url(rule, ["url"])
+    assert kind == "batch"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype(np.int64)
+        m = (did % 6).to_numpy()
+        url = pd.Series(np.empty(len(df), object), index=df.index)
+        sid = did.astype(str)
+        url[m == 0] = "https://example.org/doc/" + sid[m == 0]
+        url[m == 1] = "http://example.com/" + sid[m == 1]
+        url[m == 2] = "www.example.net/page" + sid[m == 2]
+        url[m == 3] = "ftp://files.example/" + sid[m == 3]
+        url[m == 4] = "not a url " + sid[m == 4]
+        url[m == 5] = ""
+        work = pd.DataFrame({"doc_id": did, "url": url, "__row__": did})
+        frames = fn(work)
+        if not frames:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "url": pd.Series([], dtype=object)})
+        bad_rows = pd.concat(frames)["row"].to_numpy()
+        out = work[work["__row__"].isin(bad_rows)][["doc_id", "url"]]
+        return out.reset_index(drop=True)
+
+    return (
+        _t(sf_dir, "documents", ["doc_id"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registries
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "url_check": q_url_check,
     "required_nullish": q_required_nullish,
     "non_empty_trimmed": q_non_empty_trimmed,
     "enum_event_type": q_enum_event_type,
@@ -928,6 +1014,7 @@ QUERIES = {
     "dedup_exact_md5": q_dedup_exact_md5,
     "embed_knn": q_embed_knn,
     "embed_neardup": q_embed_neardup,
+    "embed_neardup_lsh": q_embed_neardup_lsh,
     "phash_hamming_knn": q_phash_hamming_knn,
     "token_stats": q_token_stats,
     "short_docs": q_short_docs,
@@ -948,6 +1035,20 @@ QUERIES = {
 _PTS = f"WITH pts AS ({EVENT_LONLAT_SQL})"
 
 ORACLE = {
+    "url_check": (
+        "WITH d AS (SELECT doc_id, CASE CAST(doc_id % 6 AS INTEGER) "
+        "WHEN 0 THEN 'https://example.org/doc/' || doc_id "
+        "WHEN 1 THEN 'http://example.com/' || doc_id "
+        "WHEN 2 THEN 'www.example.net/page' || doc_id "
+        "WHEN 3 THEN 'ftp://files.example/' || doc_id "
+        "WHEN 4 THEN 'not a url ' || doc_id "
+        "ELSE '' END AS url FROM documents) "
+        "SELECT doc_id, url FROM d "
+        "WHERE NOT regexp_matches("
+        "CASE WHEN starts_with(url, 'www.') THEN 'https://' || url ELSE url END, "
+        "'^(http|https)://.+') "
+        "ORDER BY doc_id"
+    ),
     "required_nullish": (
         "SELECT count(*) AS violations FROM orders "
         "WHERE o_orderpriority IS NULL OR trim(o_orderpriority) = ''"

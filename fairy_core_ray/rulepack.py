@@ -39,16 +39,97 @@ CHECK_TYPES = {
 }
 
 
+class RulepackError(ValueError):
+    """Structured load/validation failure (reference
+    rulepack/loader.py:40-44 raises the analogous RulepackError from
+    pydantic ValidationError so a typo'd pack FAILS at load instead of
+    silently matching zero rules)."""
+
+
+def _rulepack_models():
+    """Pydantic models for both schema generations (built lazily so the
+    module imports without pydantic; extra keys are allowed everywhere —
+    unknown rule TYPES stay a runtime FAIL finding, not a load error,
+    matching the reference's forward-compatibility stance)."""
+    from pydantic import BaseModel, ConfigDict, Field
+
+    class _Base(BaseModel):
+        model_config = ConfigDict(extra="allow")
+
+    class Meta(_Base):
+        # reference schema.py requires name+version for the old generation
+        name: str
+        version: str
+        description: str | None = None
+
+    class OldRule(_Base):
+        id: str
+        type: str
+        config: dict = Field(default_factory=dict)
+
+    class OldRulepack(_Base):
+        meta: Meta
+        rules: list[OldRule] = Field(min_length=1)
+        params: dict = Field(default_factory=dict)
+
+    class NewRule(_Base):
+        type: str
+        id: str | None = None
+        severity: str | None = None
+
+    class Resource(_Base):
+        pattern: str
+        rules: list[NewRule] = []
+
+    class NewRulepack(_Base):
+        id: str | None = None
+        version: str | None = None
+        resources: list[Resource]
+
+    return OldRulepack, NewRulepack
+
+
+def validate_rulepack(data: Any) -> dict:
+    """Shape-validate a parsed rulepack; returns it unchanged (execution
+    keeps the raw dict — extra keys like per-type config fields must
+    survive, which pydantic round-tripping would not guarantee)."""
+    if not isinstance(data, dict):
+        raise RulepackError("Expected a mapping at the rulepack top level.")
+    try:
+        from pydantic import ValidationError
+    except ImportError:  # pydantic absent: skip the structural check
+        return data
+    old_model, new_model = _rulepack_models()
+    model = new_model if "resources" in data else old_model
+    try:
+        model.model_validate(data)
+    except ValidationError as e:
+        bullets = "; ".join(
+            f"{'.'.join(str(p) for p in err['loc'])}: {err['msg']}" for err in e.errors()[:10]
+        )
+        raise RulepackError(f"Rulepack schema validation failed: {bullets}") from e
+    return data
+
+
 def load_rulepack_text(text: str) -> dict:
-    """Parse YAML or JSON rulepack text into a plain dict."""
+    """Parse YAML or JSON rulepack text into a validated plain dict."""
     stripped = text.lstrip()
-    if stripped.startswith("{"):
-        return json.loads(text)
-    return yaml.safe_load(text) or {}
+    try:
+        if stripped.startswith("{"):
+            data = json.loads(text)
+        else:
+            data = yaml.safe_load(text) or {}
+    except Exception as e:
+        raise RulepackError(f"Rulepack parse error: {e}") from e
+    return validate_rulepack(data)
 
 
 def load_rulepack(path: str | Path) -> dict:
-    return load_rulepack_text(Path(path).read_text())
+    try:
+        text = Path(path).read_text()
+    except OSError as e:
+        raise RulepackError(f"Could not read rulepack '{path}': {e}") from e
+    return load_rulepack_text(text)
 
 
 def extract_meta(rulepack: dict) -> tuple[str, str]:

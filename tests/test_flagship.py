@@ -152,6 +152,31 @@ def test_dup_key_publish_failure_propagates(images_path, monkeypatch):
         raise ValueError("injected dup-scan failure")
 
     monkeypatch.setattr(fmod, "_dup_keys", boom)
+    monkeypatch.setattr(fmod, "_sidecar_exists", lambda p: False)  # force async path
     res = fmod.flagship(images_path)
     with pytest.raises(Exception, match="dup"):
         res["assignments"].count()
+
+
+def test_bucketed_dup_keys_match_flat(images_path, monkeypatch):
+    """With the broadcast budget forced tiny, the range-partitioned
+    bucket path must mark exactly the same dup_first mask as the flat
+    broadcast (flagship.py BROADCAST_KEY_BUDGET fallback)."""
+    from fairy_core_ray.pipelines import flagship as fmod
+
+    def run():
+        res = fmod.flagship(images_path)
+        return (
+            res["assignments"]
+            .to_pandas()
+            .sort_values(["image_id", "tile_id"], na_position="last")
+            .reset_index(drop=True)
+        )
+
+    flat = run()
+    monkeypatch.setattr(fmod, "BROADCAST_KEY_BUDGET", 3)  # force many buckets
+    fmod._STAGE_CACHE.clear()  # new broadcast structure -> new stage
+    bucketed = run()
+    fmod._STAGE_CACHE.clear()
+    assert flat["dup_first"].to_numpy().tolist() == bucketed["dup_first"].to_numpy().tolist()
+    assert flat.equals(bucketed)
