@@ -943,6 +943,91 @@ def q_cell_phash_knn(sf_dir: str):
     return knn_mod.cell_hamming_knn(ds, k=2)
 
 
+def q_word_topk(sf_dir: str):
+    """corpus word frequency top-50 — the heavy-hitter pattern: per-batch
+    factorize+bincount partials (one row per DISTINCT word per batch),
+    driver fold, sort-before-truncate. Split semantics match SQL
+    string_split(text, ' ') exactly (single space, empties dropped)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for t in df["text"].fillna("").astype(str):
+            toks.extend(t.split(" "))
+        arr = np.array([t for t in toks if t], dtype=object)
+        if not len(arr):
+            return pd.DataFrame({"w": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        codes, uniq = pd.factorize(arr, sort=False)
+        return pd.DataFrame({"w": uniq, "n": np.bincount(codes).astype(np.int64)})
+
+    parts = _t(sf_dir, "documents", ["text"]).map_batches(partial, batch_format="pandas")
+    allp = pd.concat(
+        list(parts.iter_batches(batch_size=None, batch_format="pandas")),
+        ignore_index=True,
+    )
+    folded = allp.groupby("w", sort=False)["n"].sum().reset_index()
+    out = folded.sort_values(["n", "w"], ascending=[False, True], kind="mergesort").head(50)
+    return out.reset_index(drop=True)
+
+
+def q_token_quantiles(sf_dir: str):
+    """exact token-count quantiles (p50/p90/p99) from a distributed
+    value-histogram fold: token counts are small ints, so per-batch
+    histograms (value -> count) merge exactly and the continuous
+    quantile interpolation reproduces SQL quantile_cont bit-for-bit —
+    no corpus-wide sort."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("").astype(str)
+        counts = np.array(
+            [len([w for w in t.split(" ") if w]) for t in s], dtype=np.int64
+        )
+        vals, n = np.unique(counts, return_counts=True)
+        return pd.DataFrame({"v": vals, "n": n.astype(np.int64)})
+
+    parts = _t(sf_dir, "documents", ["text"]).map_batches(partial, batch_format="pandas")
+    allp = pd.concat(
+        list(parts.iter_batches(batch_size=None, batch_format="pandas")),
+        ignore_index=True,
+    )
+    hist = allp.groupby("v", sort=True)["n"].sum()
+    vals = hist.index.to_numpy(np.int64)
+    cnts = hist.to_numpy(np.int64)
+    total = int(cnts.sum())
+    cum = np.cumsum(cnts)
+
+    def quantile_cont(q: float) -> float:
+        # identical interpolation to DuckDB/PostgreSQL percentile_cont
+        pos = (total - 1) * q
+        lo_i, frac = int(np.floor(pos)), pos - np.floor(pos)
+        lo = vals[np.searchsorted(cum, lo_i + 1)]
+        hi = vals[np.searchsorted(cum, min(lo_i + 1, total - 1) + 1)]
+        return float(lo) + frac * (float(hi) - float(lo))
+
+    return pd.DataFrame(
+        {
+            "p50": [round(quantile_cont(0.5), 6)],
+            "p90": [round(quantile_cont(0.9), 6)],
+            "p99": [round(quantile_cont(0.99), 6)],
+        }
+    )
+
+
+def q_neardup_clusters(sf_dir: str):
+    """connected components over verified minhash near-dup pairs →
+    (id, rep) canonical clusters (rows-only; union-find pytest-tested)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"], split=16)
+    pairs = dd.minhash_lsh_pairs(ds, threshold=0.5)
+    out = dd.cluster_pairs(pairs)
+    if len(out):
+        out["id"] = out["id"].astype(np.int64)
+        out["rep"] = out["rep"].astype(np.int64)
+    else:
+        out = pd.DataFrame({"id": pd.Series([], dtype=np.int64),
+                            "rep": pd.Series([], dtype=np.int64)})
+    return out
+
+
 def q_url_check(sf_dir: str):
     """C5/R5 url check against a DuckDB oracle: a deterministic URL
     column is derived from doc_id (same CASE expression in numpy and
@@ -991,6 +1076,9 @@ def q_url_check(sf_dir: str):
 
 QUERIES = {
     "url_check": q_url_check,
+    "word_topk": q_word_topk,
+    "token_quantiles": q_token_quantiles,
+    "neardup_clusters": q_neardup_clusters,
     "required_nullish": q_required_nullish,
     "non_empty_trimmed": q_non_empty_trimmed,
     "enum_event_type": q_enum_event_type,
@@ -1035,6 +1123,18 @@ QUERIES = {
 _PTS = f"WITH pts AS ({EVENT_LONLAT_SQL})"
 
 ORACLE = {
+    "word_topk": (
+        "SELECT w, CAST(count(*) AS BIGINT) AS n "
+        "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+        "WHERE w <> '' GROUP BY w ORDER BY n DESC, w LIMIT 50"
+    ),
+    "token_quantiles": (
+        "SELECT round(quantile_cont(c, 0.5), 6) AS p50, "
+        "round(quantile_cont(c, 0.9), 6) AS p90, "
+        "round(quantile_cont(c, 0.99), 6) AS p99 FROM ("
+        "SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS c "
+        "FROM documents)"
+    ),
     "url_check": (
         "WITH d AS (SELECT doc_id, CASE CAST(doc_id % 6 AS INTEGER) "
         "WHEN 0 THEN 'https://example.org/doc/' || doc_id "

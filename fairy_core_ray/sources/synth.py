@@ -168,7 +168,9 @@ def default_scratch_root() -> str:
     return tempfile.gettempdir()
 
 
-def ensure_image_dataset(n: int, seed: int = 42, root: str | None = None) -> str:
+def ensure_image_dataset(
+    n: int, seed: int = 42, root: str | None = None, num_blocks: int | None = None
+) -> str:
     """Materialize the n-row flagship table as partitioned parquet under
     the scratch root (atomic rename so concurrent callers are safe);
     return the dir.
@@ -189,7 +191,10 @@ def ensure_image_dataset(n: int, seed: int = 42, root: str | None = None) -> str
     # heap-based task throttling and halve effective concurrency; smaller
     # groups pay ~15 ms/task serial submission on the driver.
     rows_per_group = 8192
-    num_blocks = max(1, min(256, n // rows_per_group))
+    if num_blocks is None:
+        num_blocks = max(1, min(256, n // rows_per_group))
+    # (callers benchmarking fixed worker counts pass a num_blocks that
+    # divides the worker count so the final task wave has no stragglers)
 
     def _gen(batch: pa.Table) -> pa.Table:
         return gen_images_batch(batch["id"].to_numpy(), seed)

@@ -862,3 +862,40 @@ def embedding_neardup_pairs_lsh(
         return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
     pairs = pairs.drop_duplicates(["id_a", "id_b"])
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (connected components over verified pairs)
+# ---------------------------------------------------------------------------
+
+
+def cluster_pairs(pairs: pd.DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> pd.DataFrame:
+    """Connected components over a verified near-dup pair set →
+    (id, rep) with rep = the minimum id of the component — the canonical
+    keep-one-per-cluster step after pair mining.
+
+    Union-find runs on the driver: the VERIFIED pair set is the tiny
+    output of the miners (bounded by bucket guards), not corpus-sized —
+    the distributed work already happened upstream. Path compression +
+    union by rank; deterministic output sorted by id."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs[id_a], pairs[id_b]):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # deterministic: smaller root wins regardless of union order
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    ids = sorted(parent)
+    return pd.DataFrame({"id": ids, "rep": [find(i) for i in ids]})

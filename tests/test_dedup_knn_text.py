@@ -277,3 +277,20 @@ class TestEmbeddingNearDup:
         assert all(p in exact for p in got)
         # ... and recall is high for near-dup-grade cosine at 16 tables
         assert len(got & exact) / max(1, len(exact)) >= 0.8
+
+
+class TestClusterPairs:
+    def test_components_min_rep(self):
+        pairs = pd.DataFrame({"id_a": [1, 2, 5, 9], "id_b": [2, 3, 6, 1]})
+        out = dd.cluster_pairs(pairs)
+        reps = dict(zip(out["id"], out["rep"]))
+        assert reps == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+    def test_union_order_invariance(self):
+        rng = np.random.default_rng(3)
+        base = pd.DataFrame({"id_a": [10, 11, 12, 20, 21], "id_b": [11, 12, 13, 21, 22]})
+        want = dd.cluster_pairs(base)
+        for _ in range(5):
+            perm = base.sample(frac=1.0, random_state=int(rng.integers(1e9)))
+            got = dd.cluster_pairs(perm.reset_index(drop=True))
+            assert got.equals(want)
