@@ -896,6 +896,22 @@ def q_ngram_pairs(sf_dir: str):
     return dd.ngram_jaccard_pairs(ds, threshold=0.5)
 
 
+def q_ivf_ann(sf_dir: str):
+    """IVF (inverted-file) approximate cosine kNN (rows-only; recall vs
+    exact checked in pytest) — sampled spherical-k-means lists, nprobe
+    probing."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = knn_mod.ivf_cosine_ann(emb, Q, qdf["vec_id"].tolist(), k=5)
+    if len(out):
+        out = out.copy()
+        out["cosine"] = out["cosine"].round(5)
+        out["query_id"] = out["query_id"].astype(np.int64)
+        out["neighbor_id"] = out["neighbor_id"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 def q_lsh_ann(sf_dir: str):
     """LSH-bucketed approximate cosine kNN (rows-only; recall vs exact
     checked in pytest)."""
@@ -941,6 +957,47 @@ def q_cell_phash_knn(sf_dir: str):
         .map_batches(lambda t: add_cells(t, 8), batch_format="pyarrow")
     )
     return knn_mod.cell_hamming_knn(ds, k=2)
+
+
+def q_events_hopping(sf_dir: str):
+    """hopping-window aggregate (size 1h, hop 30min — each event lands
+    in exactly two windows): per-batch window assignment + combine, one
+    small groupby. The streaming-window family next to tumbling
+    (events_hourly) and sessions (sessionize)."""
+    SIZE, HOP = 3600, 1800
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        sec = us // 1_000_000
+        s1 = (sec // HOP) * HOP
+        starts = np.concatenate([s1, s1 - HOP])  # the two covering windows
+        etypes = np.concatenate([t["event_type"].to_numpy(zero_copy_only=False)] * 2)
+        vals = np.concatenate([t["value"].to_numpy()] * 2)
+        work = pa.table(
+            {
+                "event_type": pa.array(etypes),
+                "win_start": pa.array(starts, pa.int64()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+        g = work.group_by(["event_type", "win_start"]).aggregate(
+            [([], "count_all"), ("value", "sum")]
+        )
+        return g.rename_columns(["event_type", "win_start", "p_n", "p_v"])
+
+    agg = (
+        _t(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "win_start"])
+        .aggregate(
+            rd.aggregate.Sum("p_n", alias_name="n_events"),
+            rd.aggregate.Sum("p_v", alias_name="s_value"),
+        )
+        .to_pandas()
+    )
+    agg["n_events"] = agg["n_events"].astype(np.int64)
+    agg["s_value"] = agg["s_value"].round(4)
+    return agg
 
 
 def q_word_topk(sf_dir: str):
@@ -1076,6 +1133,7 @@ def q_url_check(sf_dir: str):
 
 QUERIES = {
     "url_check": q_url_check,
+    "events_hopping": q_events_hopping,
     "word_topk": q_word_topk,
     "token_quantiles": q_token_quantiles,
     "neardup_clusters": q_neardup_clusters,
@@ -1116,6 +1174,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ngram_pairs": q_ngram_pairs,
     "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
     "flagship_tile_stats": q_flagship_tile_stats,
     "cell_phash_knn": q_cell_phash_knn,
 }
@@ -1123,6 +1182,14 @@ QUERIES = {
 _PTS = f"WITH pts AS ({EVENT_LONLAT_SQL})"
 
 ORACLE = {
+    "events_hopping": (
+        "WITH two AS ("
+        "SELECT event_type, (epoch_us(ts) // 1000000 // 1800) * 1800 AS win_start, value FROM events "
+        "UNION ALL "
+        "SELECT event_type, (epoch_us(ts) // 1000000 // 1800) * 1800 - 1800 AS win_start, value FROM events) "
+        "SELECT event_type, win_start, CAST(count(*) AS BIGINT) AS n_events, "
+        "round(sum(value), 4) AS s_value FROM two GROUP BY event_type, win_start"
+    ),
     "word_topk": (
         "SELECT w, CAST(count(*) AS BIGINT) AS n "
         "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) "

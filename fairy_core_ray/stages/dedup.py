@@ -11,9 +11,17 @@ needs. Shared scale pattern:
   2. explode to (bucket_key, doc_id) rows and ``groupby(bucket_key)`` —
      the only shuffle, and it moves sketches, not documents;
   3. candidate pairs within small buckets; oversized buckets are
-     skipped with a logged count (hot-key guard);
-  4. verification joins candidate doc_ids back to content via a
-     broadcast id-set filter (the candidate set is tiny vs the corpus).
+     skipped (hot-key guard), and the n-gram path prefix-filters each
+     doc's posting list (PPJoin principle — exact recall, far fewer
+     candidates);
+  4. verification is EXACT and distributed: candidate texts broadcast
+     once, contiguous pair chunks fan out as Ray tasks (the candidate
+     set is tiny vs the corpus).
+
+Below SMALL_SKETCH_DOCS the bucket-count/filter steps fold locally on
+the driver after ONE distributed sketch pass (each extra Ray execution
+costs ~0.5-1.5 s fixed); above it they run as distributed partial-count
+folds plus a filtered second pass.
 """
 
 from __future__ import annotations

@@ -216,3 +216,96 @@ def cell_hamming_knn(
     return ds.select_columns([cell_col, id_col, phash_col]).groupby(cell_col).map_groups(
         per_cell, batch_format="pandas"
     )
+
+
+def ivf_cosine_ann(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 4096,
+    kmeans_iters: int = 8,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """IVF (inverted-file) approximate cosine kNN — the standard scale
+    path next to LSH (lsh_cosine_ann): spherical k-means centroids are
+    trained on a bounded driver sample, broadcast once, and every batch
+    scans ONLY rows whose assigned list is among each query's ``nprobe``
+    closest lists. Work per batch drops to ~nprobe/n_lists of brute
+    force while recall is controlled by nprobe (recall-tested vs
+    cosine_topk in pytest).
+
+    Scale notes: training reads ``train_sample`` rows (bounded driver
+    materialization, independent of corpus size); assignment + partial
+    top-k are one streaming map_batches pass; partials merge
+    associatively as in cosine_topk."""
+    rng = np.random.default_rng(seed)
+
+    # --- train centroids on a bounded sample (spherical k-means) ---
+    sample = ds.select_columns([vec_col]).limit(train_sample).to_pandas()
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n_lists = min(n_lists, len(X))
+    C = X[rng.choice(len(X), size=n_lists, replace=False)].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_lists):
+            m = assign == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+
+    Q = np.asarray(queries, dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    nprobe = min(nprobe, n_lists)
+    # per query: the nprobe closest lists
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    # probed[j] = bool mask over lists for query j, as a (nq, n_lists) matrix
+    probed = np.zeros((len(Q), n_lists), dtype=bool)
+    np.put_along_axis(probed, probe, True, axis=1)
+    bundle = ray.put((C, Q, np.asarray(query_ids), probed))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        Cb, Qb, qids, probed_b = ray.get(bundle)
+        Xb = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        Xb /= np.maximum(np.linalg.norm(Xb, axis=1, keepdims=True), 1e-12)
+        lists = np.argmax(Xb @ Cb.T, axis=1)  # IVF assignment per row
+        ids = df[id_col].to_numpy()
+        out = []
+        for qi in range(len(Qb)):
+            m = probed_b[qi][lists]  # rows in this query's probed lists
+            if exclude_self:
+                m = m & (ids != qids[qi])
+            if not m.any():
+                continue
+            sims = Xb[m] @ Qb[qi]
+            sub_ids = ids[m]
+            top = np.argsort(-sims, kind="stable")[:k]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qids[qi],
+                        "neighbor_id": sub_ids[top],
+                        "cosine": sims[top],
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        return pd.concat(out, ignore_index=True)
+
+    parts = list(
+        ds.select_columns([id_col, vec_col])
+        .map_batches(partial, batch_format="pandas")
+        .iter_batches(batch_size=None, batch_format="pandas")
+    )
+    out = _merge_topk(parts, k, "cosine", ascending=False)
+    if len(out):
+        out["cosine"] = out["cosine"].astype(np.float64)
+    return out

@@ -294,3 +294,35 @@ class TestClusterPairs:
             perm = base.sample(frac=1.0, random_state=int(rng.integers(1e9)))
             got = dd.cluster_pairs(perm.reset_index(drop=True))
             assert got.equals(want)
+
+
+class TestIvfAnn:
+    def test_recall_vs_exact(self):
+        rng = np.random.default_rng(17)
+        X = rng.standard_normal((600, 24))
+        vecs = pd.DataFrame(
+            {"vec_id": np.arange(600, dtype=np.int64), "embedding": list(X)}
+        )
+        ds = rd.from_pandas(vecs)
+        Q = np.stack(vecs["embedding"].iloc[:5].to_numpy())
+        exact = knn_mod.cosine_topk(ds, Q, list(range(5)), k=5)
+        approx = knn_mod.ivf_cosine_ann(
+            ds, Q, list(range(5)), k=5, n_lists=8, nprobe=4
+        )
+        e = set(zip(exact["query_id"], exact["neighbor_id"]))
+        a = set(zip(approx["query_id"], approx["neighbor_id"]))
+        assert len(e & a) / len(e) >= 0.6  # recall floor at nprobe/n_lists=0.5
+
+    def test_self_query_top1_is_self_when_included(self):
+        rng = np.random.default_rng(23)
+        X = rng.standard_normal((100, 16))
+        vecs = pd.DataFrame(
+            {"vec_id": np.arange(100, dtype=np.int64), "embedding": list(X)}
+        )
+        ds = rd.from_pandas(vecs)
+        Q = np.stack(vecs["embedding"].iloc[:3].to_numpy())
+        out = knn_mod.ivf_cosine_ann(
+            ds, Q, [0, 1, 2], k=1, n_lists=4, nprobe=4, exclude_self=False
+        )
+        got = dict(zip(out["query_id"], out["neighbor_id"]))
+        assert got == {0: 0, 1: 1, 2: 2}  # nprobe=n_lists -> exhaustive
