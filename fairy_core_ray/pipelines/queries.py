@@ -959,6 +959,71 @@ def q_cell_phash_knn(sf_dir: str):
     return knn_mod.cell_hamming_knn(ds, k=2)
 
 
+def q_video_frame_sample(sf_dir: str):
+    """video frame-sampling plumbing (rows-only): documents stand in as
+    a deterministic opaque-binary video table; FrameSampleStage explodes
+    one row per sampled frame in an actor pool (stub frame decode,
+    real schema/batch/actor contract — stages/multimodal.py)."""
+    from fairy_core_ray.stages.multimodal import FrameSampleStage
+
+    def to_videos(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        payloads = [f"video-payload-{int(d)}".encode() for d in did]
+        return pa.table(
+            {
+                "video_id": pa.array([f"v{int(d)}" for d in did], pa.string()),
+                "bytes": pa.array(payloads, pa.binary()),
+                "n_frames": pa.array((did % 40) + 1, pa.int64()),
+            }
+        )
+
+    return (
+        _t(sf_dir, "documents", ["doc_id"])
+        .map_batches(to_videos, batch_format="pyarrow")
+        .map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs={"frames_per_video": 4},
+            batch_format="pyarrow",
+            batch_size=256,  # frames rematerialize here; keep batches small
+            concurrency=2,
+        )
+    )
+
+
+def q_audio_windows(sf_dir: str):
+    """audio window features (rows-only): deterministic PCM16 payloads
+    derived from doc_id, REAL decode (np.frombuffer) + vectorized
+    window RMS/zero-crossing in an actor pool."""
+    from fairy_core_ray.stages.multimodal import AudioWindowStage
+
+    def to_audio(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        payloads = []
+        for d in did:
+            n = 1024 * (int(d) % 3 + 1)
+            x = np.arange(n, dtype=np.float64)
+            wave = (np.sin(2 * np.pi * x / (32 + int(d) % 64)) * 8000).astype("<i2")
+            payloads.append(wave.tobytes())
+        return pa.table(
+            {
+                "audio_id": pa.array([f"a{int(d)}" for d in did], pa.string()),
+                "bytes": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return (
+        _t(sf_dir, "documents", ["doc_id"])
+        .map_batches(to_audio, batch_format="pyarrow")
+        .map_batches(
+            AudioWindowStage,
+            fn_constructor_kwargs={"window": 1024},
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+        )
+    )
+
+
 def q_events_hopping(sf_dir: str):
     """hopping-window aggregate (size 1h, hop 30min — each event lands
     in exactly two windows): per-batch window assignment + combine, one
@@ -1134,6 +1199,8 @@ def q_url_check(sf_dir: str):
 QUERIES = {
     "url_check": q_url_check,
     "events_hopping": q_events_hopping,
+    "video_frame_sample": q_video_frame_sample,
+    "audio_windows": q_audio_windows,
     "word_topk": q_word_topk,
     "token_quantiles": q_token_quantiles,
     "neardup_clusters": q_neardup_clusters,

@@ -60,3 +60,139 @@ class ThumbnailStage:
         for j, name in enumerate(("thumb_std_r", "thumb_std_g", "thumb_std_b")):
             out = out.append_column(name, pa.array(np.round(stds[:, j], 4), pa.float64()))
         return out
+
+
+def sample_frame_indices(n_frames: np.ndarray, k: int) -> list[np.ndarray]:
+    """Uniform frame sampling: k indices over [0, n) per row (all frames
+    when n <= k). Deterministic — floor-spaced like ffmpeg's fps filter."""
+    out = []
+    for n in np.asarray(n_frames, dtype=np.int64):
+        n = max(int(n), 0)
+        if n == 0:
+            out.append(np.empty(0, np.int64))
+        elif n <= k:
+            out.append(np.arange(n, dtype=np.int64))
+        else:
+            out.append((np.arange(k, dtype=np.int64) * n) // k)
+    return out
+
+
+class FrameSampleStage:
+    """Actor-pool stage: video payload → one row per SAMPLED frame with
+    per-frame features (the flat-map shape of a frame-extraction stage).
+
+    No video codec exists in this sandbox, so frame decode is a
+    clearly-marked deterministic fake (splitmix64 of payload-hash +
+    frame index → synthetic mean RGB); the Ray-side plumbing — explode
+    rows per frame inside map_batches, per-actor params in __init__,
+    small batches because frames rematerialize — is the real contract a
+    production stage keeps when ffmpeg/PyAV is swapped in."""
+
+    def __init__(self, frames_per_video: int = 4):
+        self.k = frames_per_video
+
+    def _fake_frame_features(self, payload: bytes, idx: np.ndarray) -> np.ndarray:
+        import hashlib
+
+        from fairy_core_ray.functions.hashing import splitmix64
+
+        # deterministic across processes (python hash() is salted)
+        base = np.uint64(
+            int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
+        )
+        h = splitmix64(idx.astype(np.uint64) ^ base)
+        # three channels from one hash — stand-in for a decoded frame's means
+        return np.stack(
+            [
+                (h & np.uint64(0xFF)).astype(np.float64),
+                ((h >> np.uint64(8)) & np.uint64(0xFF)).astype(np.float64),
+                ((h >> np.uint64(16)) & np.uint64(0xFF)).astype(np.float64),
+            ],
+            axis=1,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["video_id"].to_pylist()
+        n_frames = batch["n_frames"].to_numpy()
+        payloads = batch["bytes"].to_pylist()
+        sampled = sample_frame_indices(n_frames, self.k)
+        out_vid: list = []
+        idx_parts: list[np.ndarray] = []
+        feat_parts: list[np.ndarray] = []
+        for vid, payload, idx in zip(vids, payloads, sampled):
+            if payload is None or not len(idx):
+                continue
+            out_vid.extend([vid] * len(idx))
+            idx_parts.append(idx)
+            feat_parts.append(self._fake_frame_features(payload, idx))
+        if not idx_parts:
+            return pa.table(
+                {
+                    "video_id": pa.array([], pa.string()),
+                    "frame_idx": pa.array([], pa.int64()),
+                    "frame_mean_r": pa.array([], pa.float64()),
+                    "frame_mean_g": pa.array([], pa.float64()),
+                    "frame_mean_b": pa.array([], pa.float64()),
+                }
+            )
+        feats = np.concatenate(feat_parts)
+        return pa.table(
+            {
+                "video_id": pa.array(out_vid, pa.string()),
+                "frame_idx": pa.array(np.concatenate(idx_parts), pa.int64()),
+                "frame_mean_r": pa.array(feats[:, 0], pa.float64()),
+                "frame_mean_g": pa.array(feats[:, 1], pa.float64()),
+                "frame_mean_b": pa.array(feats[:, 2], pa.float64()),
+            }
+        )
+
+
+class AudioWindowStage:
+    """Actor-pool stage: PCM16 audio payload → per-window RMS +
+    zero-crossing-rate features (REAL decode — PCM needs no codec:
+    np.frombuffer(int16), then vectorized window reductions).
+
+    One output row per (audio_id, window); window length in samples is
+    fixed per actor. The same shape carries a real resampler or a
+    spectrogram kernel."""
+
+    def __init__(self, window: int = 1024):
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["audio_id"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        out_id: list = []
+        win_idx: list[np.ndarray] = []
+        rms: list[np.ndarray] = []
+        zcr: list[np.ndarray] = []
+        for aid, payload in zip(ids, payloads):
+            if payload is None or len(payload) < 2:
+                continue
+            pcm = np.frombuffer(payload[: len(payload) - (len(payload) % 2)], dtype="<i2")
+            n_win = len(pcm) // self.window
+            if n_win == 0:
+                continue
+            w = pcm[: n_win * self.window].reshape(n_win, self.window).astype(np.float64)
+            out_id.extend([aid] * n_win)
+            win_idx.append(np.arange(n_win, dtype=np.int64))
+            rms.append(np.sqrt((w * w).mean(axis=1)))
+            signs = np.signbit(w)
+            zcr.append((signs[:, 1:] != signs[:, :-1]).mean(axis=1))
+        if not win_idx:
+            return pa.table(
+                {
+                    "audio_id": pa.array([], pa.string()),
+                    "window_idx": pa.array([], pa.int64()),
+                    "rms": pa.array([], pa.float64()),
+                    "zcr": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "audio_id": pa.array(out_id, pa.string()),
+                "window_idx": pa.array(np.concatenate(win_idx), pa.int64()),
+                "rms": pa.array(np.concatenate(rms), pa.float64()),
+                "zcr": pa.array(np.concatenate(zcr), pa.float64()),
+            }
+        )

@@ -326,3 +326,60 @@ class TestIvfAnn:
         )
         got = dict(zip(out["query_id"], out["neighbor_id"]))
         assert got == {0: 0, 1: 1, 2: 2}  # nprobe=n_lists -> exhaustive
+
+
+class TestMultimodalStages:
+    def test_frame_sampling_indices(self):
+        from fairy_core_ray.stages.multimodal import sample_frame_indices
+
+        idx = sample_frame_indices(np.array([0, 2, 4, 100]), k=4)
+        assert idx[0].tolist() == []
+        assert idx[1].tolist() == [0, 1]          # n <= k: all frames
+        assert idx[2].tolist() == [0, 1, 2, 3]
+        assert idx[3].tolist() == [0, 25, 50, 75]  # uniform floor spacing
+
+    def test_frame_sample_stage_explodes_and_is_deterministic(self):
+        import pyarrow as pa
+
+        from fairy_core_ray.stages.multimodal import FrameSampleStage
+
+        batch = pa.table(
+            {
+                "video_id": pa.array(["v0", "v1", "v2"], pa.string()),
+                "bytes": pa.array([b"payload-a", b"payload-b", None], pa.binary()),
+                "n_frames": pa.array([10, 3, 8], pa.int64()),
+            }
+        )
+        st = FrameSampleStage(frames_per_video=4)
+        out1, out2 = st(batch), st(batch)
+        assert out1.equals(out2)  # deterministic (process-stable hash)
+        df = out1.to_pandas()
+        assert df[df["video_id"] == "v0"]["frame_idx"].tolist() == [0, 2, 5, 7]
+        assert df[df["video_id"] == "v1"]["frame_idx"].tolist() == [0, 1, 2]
+        assert "v2" not in set(df["video_id"])  # null payload dropped
+        assert ((df[["frame_mean_r", "frame_mean_g", "frame_mean_b"]] >= 0).all().all())
+
+    def test_audio_window_stage_real_pcm(self):
+        import pyarrow as pa
+
+        from fairy_core_ray.stages.multimodal import AudioWindowStage
+
+        t = np.arange(4096, dtype=np.float64)
+        sine = (np.sin(2 * np.pi * t / 64.0) * 10000).astype("<i2")  # loud tone
+        silence = np.zeros(2048, dtype="<i2")
+        batch = pa.table(
+            {
+                "audio_id": pa.array(["loud", "quiet", "tiny"], pa.string()),
+                "bytes": pa.array(
+                    [sine.tobytes(), silence.tobytes(), b"\x01"], pa.binary()
+                ),
+            }
+        )
+        out = AudioWindowStage(window=1024)(batch).to_pandas()
+        loud = out[out["audio_id"] == "loud"]
+        quiet = out[out["audio_id"] == "quiet"]
+        assert len(loud) == 4 and len(quiet) == 2
+        assert (loud["rms"] > 1000).all() and (quiet["rms"] == 0).all()
+        # 1024-sample windows of a 64-sample-period sine: 2 crossings/period
+        assert np.allclose(loud["zcr"], 32 / 1023, atol=1e-3)
+        assert "tiny" not in set(out["audio_id"])  # sub-window payload dropped
