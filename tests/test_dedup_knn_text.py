@@ -383,3 +383,22 @@ class TestMultimodalStages:
         # 1024-sample windows of a 64-sample-period sine: 2 crossings/period
         assert np.allclose(loud["zcr"], 32 / 1023, atol=1e-3)
         assert "tiny" not in set(out["audio_id"])  # sub-window payload dropped
+
+
+class TestNgramBigPathParity:
+    def test_big_path_equals_small_path(self, corpus, monkeypatch):
+        """The distributed (partial-fold + broadcast-count prefix) path
+        must produce exactly the small driver path's pairs."""
+        ds = rd.from_pandas(corpus)
+        small = dd.ngram_jaccard_pairs(ds, n=3, threshold=0.5, max_posting=60)
+        monkeypatch.setattr(dd, "SMALL_SKETCH_DOCS", 0)  # force big path
+        big = dd.ngram_jaccard_pairs(ds, n=3, threshold=0.5, max_posting=60)
+        assert small.equals(big)
+
+    def test_minhash_simhash_big_path_parity(self, corpus, monkeypatch):
+        ds = rd.from_pandas(corpus)
+        mh_small = dd.minhash_lsh_pairs(ds, threshold=0.5)
+        sh_small = dd.simhash_pairs(ds, max_hamming=3)
+        monkeypatch.setattr(dd, "SMALL_SKETCH_DOCS", 0)  # force big path
+        assert dd.minhash_lsh_pairs(ds, threshold=0.5).equals(mh_small)
+        assert dd.simhash_pairs(ds, max_hamming=3).equals(sh_small)
