@@ -103,15 +103,42 @@ def _dup_check(
         return pa.table({"key": pa.array(key.tolist(), pa.string()),
                          ROW_COL: pa.array(df[ROW_COL].to_numpy(np.int64))})
 
-    agg = (
-        handle.ds.map_batches(to_key, batch_format="pyarrow")
-        .groupby("key")
-        .aggregate(
-            rd.aggregate.Min(ROW_COL, alias_name="keep_row"),
-            rd.aggregate.Count(alias_name="n"),
+    try:
+        n_rows = handle.ds.count()
+    except Exception:
+        n_rows = None
+    if n_rows is not None and n_rows <= 2_000_000:
+        # per-batch (key -> min row, count) partials + one driver fold:
+        # Ray's sort-based groupby costs seconds on small string-keyed
+        # tables (stages/dedup._fold_counts rationale)
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            df = to_key(batch).to_pandas()
+            g = df.groupby("key", sort=False)[ROW_COL].agg(["min", "size"]).reset_index()
+            g.columns = ["key", "keep_row", "n"]
+            return g
+
+        allp = pd.concat(
+            list(
+                handle.ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                    batch_size=None, batch_format="pandas"
+                )
+            ),
+            ignore_index=True,
         )
-    )
-    dup_pdf = agg.filter(expr="n > 1").to_pandas()
+        agg_pdf = allp.groupby("key", sort=False).agg(
+            keep_row=("keep_row", "min"), n=("n", "sum")
+        ).reset_index()
+        dup_pdf = agg_pdf[agg_pdf["n"] > 1]
+    else:
+        agg = (
+            handle.ds.map_batches(to_key, batch_format="pyarrow")
+            .groupby("key")
+            .aggregate(
+                rd.aggregate.Min(ROW_COL, alias_name="keep_row"),
+                rd.aggregate.Count(alias_name="n"),
+            )
+        )
+        dup_pdf = agg.filter(expr="n > 1").to_pandas()
     if dup_pdf.empty:
         return True, np.array([], np.int64)
     dup_keys = set(dup_pdf["key"].tolist())

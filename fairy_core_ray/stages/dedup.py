@@ -88,18 +88,47 @@ def keep_first(
     with ``searchsorted`` — no per-row Python (SURVEY.md §7.3; at 10^12
     rows swap the broadcast for a hash-bucketed semi-join)."""
 
-    def project(t: pa.Table) -> pa.Table:
-        return pa.table({"key": key_fn(t), "ord": t[order_col]})
+    try:
+        n_rows = ds.count()
+    except Exception:
+        n_rows = None
+    if n_rows is not None and n_rows <= 2_000_000:
+        # small path: per-batch (key -> min ord, count) partials + one
+        # driver fold — Ray's sort-based groupby costs seconds on small
+        # string-keyed tables (see _fold_counts note)
+        def partial(t: pa.Table) -> pd.DataFrame:
+            df = pd.DataFrame(
+                {"key": key_fn(t).to_pandas(), "ord": t[order_col].to_pandas()}
+            )
+            g = df.groupby("key", sort=False)["ord"].agg(["min", "size"]).reset_index()
+            g.columns = ["key", "keep_ord", "n"]
+            return g
 
-    agg = (
-        ds.map_batches(project, batch_format="pyarrow")
-        .groupby("key")
-        .aggregate(
-            rd.aggregate.Min("ord", alias_name="keep_ord"),
-            rd.aggregate.Count(alias_name="n"),
+        allp = pd.concat(
+            list(
+                ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                    batch_size=None, batch_format="pandas"
+                )
+            ),
+            ignore_index=True,
         )
-    )
-    dup = agg.filter(expr="n > 1").to_pandas()
+        agg_pdf = allp.groupby("key", sort=False).agg(
+            keep_ord=("keep_ord", "min"), n=("n", "sum")
+        ).reset_index()
+        dup = agg_pdf[agg_pdf["n"] > 1]
+    else:
+        def project(t: pa.Table) -> pa.Table:
+            return pa.table({"key": key_fn(t), "ord": t[order_col]})
+
+        agg = (
+            ds.map_batches(project, batch_format="pyarrow")
+            .groupby("key")
+            .aggregate(
+                rd.aggregate.Min("ord", alias_name="keep_ord"),
+                rd.aggregate.Count(alias_name="n"),
+            )
+        )
+        dup = agg.filter(expr="n > 1").to_pandas()
     if "key" in dup.columns and len(dup):
         kh = _key_hash_u64(dup["key"].to_numpy())
         order = np.argsort(kh)
