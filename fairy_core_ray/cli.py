@@ -198,15 +198,17 @@ def main(argv=None) -> int:
     t.add_argument("--no-decode", action="store_true")
 
     args = p.parse_args(argv)
+    import ray
+
+    owned_session = not ray.is_initialized()  # embedded callers own theirs
     rc = {
         "validate": cmd_validate,
         "preflight": cmd_preflight,
         "export": cmd_export,
         "tile": cmd_tile,
     }[args.cmd](args)
-    import ray
-
-    ray.shutdown()
+    if owned_session:
+        ray.shutdown()
     return rc
 
 
