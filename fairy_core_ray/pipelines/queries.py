@@ -636,7 +636,11 @@ def q_embed_neardup_lsh(sf_dir: str):
     exact block-pair miner is pytest-checked) — the web-scale path that
     replaces the O(B²) block-pair term with one bucket shuffle."""
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = dd.embedding_neardup_pairs_lsh(emb, threshold=0.4, n_tables=12, n_planes=8)
+    # plane count tuned to the LOW threshold: p_bit = 1 - acos(0.4)/pi
+    # = 0.63, so 4 planes/table x 12 tables -> ~87% expected recall
+    # (8 planes would collapse it to ~26%); coarser buckets are the
+    # price of recall at low cosine thresholds
+    out = dd.embedding_neardup_pairs_lsh(emb, threshold=0.4, n_tables=12, n_planes=4)
     if len(out):
         out = out.copy()
         out["cosine"] = out["cosine"].round(5)
