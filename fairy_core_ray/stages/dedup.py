@@ -10,18 +10,22 @@ needs. Shared scale pattern:
      signatures, simhash bits, hyperplane signs);
   2. explode to (bucket_key, doc_id) rows and ``groupby(bucket_key)`` —
      the only shuffle, and it moves sketches, not documents;
-  3. candidate pairs within small buckets; oversized buckets are
-     skipped (hot-key guard), and the n-gram path prefix-filters each
-     doc's posting list (PPJoin principle — exact recall, far fewer
-     candidates);
-  4. verification is EXACT and distributed: candidate texts broadcast
-     once, contiguous pair chunks fan out as Ray tasks (the candidate
-     set is tiny vs the corpus).
+  3. candidate pairs enumerate INSIDE the groupby shuffle
+     (``map_groups`` per bucket, hot-bucket guard applied per group);
+     the n-gram path prefix-filters each doc's posting list first
+     (PPJoin principle — exact recall, far fewer candidates). The
+     driver folds only the deduped pair set, never bucket contents;
+  4. verification is EXACT and distributed: candidate texts live in the
+     object store (one broadcast dict under TEXT_BROADCAST_BUDGET,
+     per-block dict-chunk refs above it), contiguous pair chunks fan
+     out as Ray tasks (the candidate set is tiny vs the corpus).
+     SimHash verification needs only the sketches, so it runs entirely
+     inside the bucket ``map_groups``.
 
-Below SMALL_SKETCH_DOCS the bucket-count/filter steps fold locally on
-the driver after ONE distributed sketch pass (each extra Ray execution
-costs ~0.5-1.5 s fixed); above it they run as distributed partial-count
-folds plus a filtered second pass.
+Below SMALL_SKETCH_DOCS everything after the ONE distributed sketch
+pass folds locally on the driver (each extra Ray execution costs
+~0.5-1.5 s fixed); above it bucket counts fold distributedly and a
+filtered second pass feeds the groupby above.
 """
 
 from __future__ import annotations
@@ -81,12 +85,20 @@ def keep_first(
     ds: rd.Dataset,
     key_fn: Callable[[pa.Table], pa.Array],
     order_col: str,
+    *,
+    _hash_fn: Callable[[np.ndarray], np.ndarray] | None = None,
 ) -> rd.Dataset:
     """Generic keep-first exact dedup: append ``dup_first`` (True for the
     min-``order_col`` row of each key group). Aggregates (key, order)
-    only; broadcasts sorted u64 key-hash + keep-order arrays and marks
-    with ``searchsorted`` — no per-row Python (SURVEY.md §7.3; at 10^12
-    rows swap the broadcast for a hash-bucketed semi-join)."""
+    only; broadcasts sorted u64 key-hash + keep-order + key-value arrays
+    (duplicated keys only) and marks with ``searchsorted`` + exact key
+    confirmation — no per-row Python (SURVEY.md §7.3; at 10^12 rows swap
+    the broadcast for a hash-bucketed semi-join).
+
+    ``_hash_fn`` injects the key-hash kernel (test hook for forcing
+    collisions); it is captured by the mark closure so it ships to
+    workers."""
+    hash_fn = _hash_fn or _key_hash_u64
 
     try:
         n_rows = ds.count()
@@ -130,20 +142,43 @@ def keep_first(
         )
         dup = agg.filter(expr="n > 1").to_pandas()
     if "key" in dup.columns and len(dup):
-        kh = _key_hash_u64(dup["key"].to_numpy())
-        order = np.argsort(kh)
+        kh = hash_fn(dup["key"].to_numpy())
+        order = np.argsort(kh, kind="stable")
         dup_kh, dup_ord = kh[order], dup["keep_ord"].to_numpy()[order]
+        dup_keys = dup["key"].to_numpy()[order]
     else:
         dup_kh, dup_ord = np.empty(0, np.uint64), np.empty(0, np.int64)
-    ref = ray.put((dup_kh, dup_ord))
+        dup_keys = np.empty(0, object)
+    ref = ray.put((dup_kh, dup_ord, dup_keys))
 
     def mark(t: pa.Table) -> pa.Table:
-        dk, do = ray.get(ref)
+        dk, do, dkeys = ray.get(ref)
         first = np.ones(len(t), dtype=bool)
         if len(dk):
-            kh = _key_hash_u64(key_fn(t).to_pandas().to_numpy())
+            keys_b = key_fn(t).to_pandas().to_numpy()
+            kh = hash_fn(keys_b)
             pos = np.minimum(np.searchsorted(dk, kh), len(dk) - 1)
             member = dk[pos] == kh
+            # hash membership confirmed by EXACT key equality (the
+            # matched subset is tiny): a u64 collision between a unique
+            # key and a dup key must not mark the unique row. Where the
+            # key differs but the next slot carries the same hash (two
+            # distinct dup keys colliding — ~birthday(10^12)/2^64 rare),
+            # probe pos+1; deeper runs are ignored and only FAIL-OPEN
+            # (a true dup row stays dup_first=True).
+            mi = np.flatnonzero(member)
+            if len(mi):
+                eq = np.zeros(len(t), dtype=bool)
+                eq[mi] = dkeys[pos[mi]] == keys_b[mi]
+                miss = mi[~eq[mi]]
+                if len(miss):
+                    p2 = pos[miss] + 1
+                    ok2 = p2 < len(dk)
+                    sel, p2 = miss[ok2], p2[ok2]
+                    hit = (dk[p2] == kh[sel]) & (dkeys[p2] == keys_b[sel])
+                    eq[sel[hit]] = True
+                    pos[sel[hit]] = p2[hit]
+                member = eq
             orders = np.asarray(t[order_col].to_pandas())
             first = ~(member & (orders != do[pos]))
         return t.append_column("dup_first", pa.array(first, pa.bool_()))
@@ -211,7 +246,9 @@ def _bucket_bounds(comb_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _candidate_pairs(ids_all: np.ndarray, comb_sorted: np.ndarray) -> set[tuple]:
-    """Distinct unordered id pairs per bucket (bucket-sorted input)."""
+    """Distinct unordered id pairs per bucket (bucket-sorted input) —
+    SMALL-path helper only; the big paths enumerate pairs distributedly
+    via groupby(...).map_groups(_emit_bucket_id_pairs)."""
     starts, ends = _bucket_bounds(comb_sorted)
     pairs: set[tuple] = set()
     for s, e in zip(starts, ends):
@@ -223,9 +260,57 @@ def _candidate_pairs(ids_all: np.ndarray, comb_sorted: np.ndarray) -> set[tuple]
     return pairs
 
 
-def _fetch_texts(ds: rd.Dataset, ids: set, id_col: str, text_col: str) -> dict:
-    """{id: text} for a (small) candidate id set via a broadcast-filter
-    scan — the only content fetched during verification."""
+def _emit_bucket_id_pairs(g: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
+    """Distinct unordered id pairs of ONE bucket group — the map_groups
+    body that replaces driver-side pair enumeration in the big paths.
+    Pairs materialize inside the groupby shuffle's reduce side, so the
+    driver never holds collided sketch/posting rows (the round-2
+    O(duplicated-rows) driver term). ids come back sorted from
+    np.unique, so id_a < id_b by construction."""
+    ids = np.unique(g["id"].to_numpy())
+    if len(ids) < 2 or len(g) > max_bucket:  # hot-bucket guard
+        return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+    iu, ju = np.triu_indices(len(ids), 1)
+    return pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju]})
+
+
+def _collect_pair_set(pairs_ds: rd.Dataset) -> set[tuple]:
+    """Fold distributed pair emissions into the set that drives
+    verification. Per-batch drop_duplicates shrinks the stream first;
+    the driver ends up holding only the DISTINCT candidate-pair set —
+    the same object the verification fan-out needs to exist anyway."""
+    pairs: set[tuple] = set()
+    deduped = pairs_ds.map_batches(
+        lambda df: df.drop_duplicates(["id_a", "id_b"]), batch_format="pandas"
+    )
+    for b in deduped.iter_batches(batch_size=None, batch_format="pandas"):
+        pairs.update(zip(b["id_a"].tolist(), b["id_b"].tolist()))
+    return pairs
+
+
+# Above this many bytes of candidate text the verification texts are
+# never assembled into one driver dict: each materialized (id, text)
+# block becomes an object-store dict chunk (built BY a Ray task), and
+# each verify task receives only the chunk refs covering its pairs.
+TEXT_BROADCAST_BUDGET = 64 << 20
+
+
+@ray.remote
+def _block_to_text_dict(block, id_col: str, text_col: str) -> dict:
+    df = block.to_pandas() if isinstance(block, pa.Table) else block
+    return dict(zip(df[id_col].tolist(), df[text_col].astype(str).tolist()))
+
+
+@ray.remote
+def _block_ids(block, id_col: str) -> np.ndarray:
+    df = block.to_pandas() if isinstance(block, pa.Table) else block
+    return df[id_col].to_numpy()
+
+
+def _fetch_candidate_texts(ds: rd.Dataset, ids: set, id_col: str, text_col: str):
+    """Materialize the candidate (id, text) rows via a broadcast-filter
+    scan; returns the MaterializedDataset (texts stay in the object
+    store, not on the driver)."""
     ref = ray.put(ids)
 
     def fetch(df: pd.DataFrame) -> pd.DataFrame:
@@ -235,17 +320,33 @@ def _fetch_texts(ds: rd.Dataset, ids: set, id_col: str, text_col: str) -> dict:
     return (
         ds.select_columns([id_col, text_col])
         .map_batches(fetch, batch_format="pandas")
-        .to_pandas()
-        .set_index(id_col)[text_col]
-        .to_dict()
+        .materialize()
     )
 
 
+def _dataset_block_refs(mat_ds) -> list:
+    try:
+        return [
+            bref
+            for bundle in mat_ds.iter_internal_ref_bundles()
+            for bref, _meta in bundle.blocks
+        ]
+    except AttributeError:  # older Ray
+        return list(mat_ds.get_internal_block_refs())
+
+
 @ray.remote
-def _jaccard_chunk(texts: dict, pairs_chunk: list, gram_batch_fn, gram_arg: int, seed: int):
+def _jaccard_chunk(texts, pairs_chunk: list, gram_batch_fn, gram_arg: int, seed: int):
     """Exact jaccard for one chunk of candidate pairs. Gram arrays
     (sorted-unique u64) are computed ONCE per distinct doc in the chunk
-    with the batch kernel, then pairs intersect with numpy."""
+    with the batch kernel, then pairs intersect with numpy. ``texts`` is
+    either a dict (small broadcast) or a list of object refs to dict
+    chunks (big path — only the chunks this task's pairs touch)."""
+    if isinstance(texts, list):
+        merged: dict = {}
+        for d in ray.get(texts):
+            merged.update(d)
+        texts = merged
     ids = sorted({i for p in pairs_chunk for i in p})
     arrs = gram_batch_fn(
         pd.Series([str(texts.get(i, "")) for i in ids]), gram_arg, seed
@@ -274,20 +375,47 @@ def _verified_jaccard_pairs(
     seed: int,
     threshold: float,
 ) -> pd.DataFrame:
-    """Distributed exact-jaccard verification: candidate texts broadcast
-    once, pairs split into contiguous chunks (sorted, so chunks share
-    left ids and the per-task gram cache hits), one Ray task each."""
-    texts = _fetch_texts(ds, {i for p in pairs for i in p}, id_col, text_col)
-    tref = ray.put(texts)
+    """Distributed exact-jaccard verification: candidate texts fetched
+    into the object store, pairs split into contiguous chunks (sorted,
+    so chunks share left ids and the per-task gram cache hits), one Ray
+    task each. Below TEXT_BROADCAST_BUDGET the texts broadcast as one
+    dict; above it each (id, text) block becomes a dict-chunk ref built
+    by a Ray task, the driver keeps only id arrays + refs, and each
+    verify task receives the chunk refs its pairs actually touch."""
+    cand_ids = {i for p in pairs for i in p}
+    fetched = _fetch_candidate_texts(ds, cand_ids, id_col, text_col)
     ordered = sorted(pairs)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     nchunk = max(1, min(ncpu * 2, (len(ordered) + 255) // 256))
     bounds = np.linspace(0, len(ordered), nchunk + 1).astype(int)
-    tasks = [
-        _jaccard_chunk.remote(tref, ordered[s:e], gram_fn, gram_arg, seed)
-        for s, e in zip(bounds[:-1], bounds[1:])
-        if e > s
-    ]
+    spans = [(s, e) for s, e in zip(bounds[:-1], bounds[1:]) if e > s]
+    try:
+        total_bytes = fetched.size_bytes() or 0
+    except Exception:
+        total_bytes = 0
+    if total_bytes <= TEXT_BROADCAST_BUDGET:
+        texts = fetched.to_pandas().set_index(id_col)[text_col].to_dict()
+        tref = ray.put(texts)
+        tasks = [
+            _jaccard_chunk.remote(tref, ordered[s:e], gram_fn, gram_arg, seed)
+            for s, e in spans
+        ]
+    else:
+        brefs = _dataset_block_refs(fetched)
+        dict_refs = [_block_to_text_dict.remote(b, id_col, text_col) for b in brefs]
+        id_arrays = ray.get([_block_ids.remote(b, id_col) for b in brefs])
+        id2blk = {
+            i: bi for bi, arr in enumerate(id_arrays) for i in arr.tolist()
+        }  # ids only — O(candidate ids) driver memory, never the texts
+        tasks = []
+        for s, e in spans:
+            chunk = ordered[s:e]
+            need = sorted({id2blk[i] for p in chunk for i in p if i in id2blk})
+            tasks.append(
+                _jaccard_chunk.remote(
+                    [dict_refs[b] for b in need], chunk, gram_fn, gram_arg, seed
+                )
+            )
     rows = [r for chunk in ray.get(tasks) for r in chunk]
     df = pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
     return df[df["jaccard"] >= threshold].reset_index(drop=True)
@@ -413,9 +541,10 @@ def minhash_lsh_pairs(
     except Exception:
         n_docs = None
     if n_docs is not None and n_docs <= SMALL_SKETCH_DOCS:
-        # one distributed sketch pass; bucket count + collision filter
-        # run locally on the tiny (bands x docs)-row table
+        # one distributed sketch pass; bucket count + collision filter +
+        # pair enumeration run locally on the tiny (bands x docs)-row table
         sk, comb = _filter_buckets(sketch_ds.to_pandas(), max_bucket)
+        pairs = _candidate_pairs(sk["id"].to_numpy(), comb)
     else:
         partials = sketch_ds.map_batches(
             lambda df: df.groupby(["band", "bh"], sort=False).size().rename("n").reset_index(),
@@ -436,11 +565,19 @@ def minhash_lsh_pairs(
             # numpy bool mask (NOT a list: df[[]] would select zero COLUMNS)
             return out[np.isin(comb, keys)]
 
-        sk = sketch_src.map_batches(
-            lambda df: keep_collided(sketch(df)), batch_format="pandas"
-        ).to_pandas()
-        sk, comb = _filter_buckets(sk, max_bucket)
-    pairs = _candidate_pairs(sk["id"].to_numpy(), comb)
+        # distributed pair enumeration: the filtered sketch rows shuffle
+        # ONCE by (band, bh) and pairs emit inside map_groups — the
+        # driver sees only the deduped pair set, never the sketch rows
+        pairs_ds = (
+            sketch_src.map_batches(
+                lambda df: keep_collided(sketch(df)), batch_format="pandas"
+            )
+            .groupby(["band", "bh"])
+            .map_groups(
+                lambda g: _emit_bucket_id_pairs(g, max_bucket), batch_format="pandas"
+            )
+        )
+        pairs = _collect_pair_set(pairs_ds)
     if not pairs:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     return _verified_jaccard_pairs(
@@ -506,6 +643,40 @@ def simhash64(texts: pd.Series, seed: int = 42) -> np.ndarray:
     return out
 
 
+def _simhash_bucket_rows(
+    ids: np.ndarray, sh: np.ndarray, max_hamming: int, max_bucket: int
+):
+    """Verified (id_a, id_b, hamming) arrays within ONE bucket — one
+    popcount matrix, no per-pair allocation. ids sorted by np.unique so
+    id_a < id_b by construction; None when the bucket is trivial or
+    over the hot-bucket guard."""
+    bid, first_idx = np.unique(ids, return_index=True)
+    m = len(bid)
+    if m < 2 or len(ids) > max_bucket:
+        return None
+    bsh = sh[first_idx]
+    D = hamming64(bsh[:, None], bsh[None, :])
+    iu, ju = np.triu_indices(m, 1)
+    d = D[iu, ju]
+    ok = d <= max_hamming
+    return bid[iu[ok]], bid[ju[ok]], d[ok].astype(np.int64)
+
+
+def _emit_simhash_pairs(g: pd.DataFrame, max_hamming: int, max_bucket: int) -> pd.DataFrame:
+    """map_groups body for the big path: verification happens INSIDE the
+    (band, bh) groupby shuffle — the driver folds only verified pairs."""
+    res = _simhash_bucket_rows(
+        g["id"].to_numpy(), g["sh"].to_numpy(np.int64), max_hamming, max_bucket
+    )
+    if res is None:
+        empty = g["id"].to_numpy()[:0]
+        return pd.DataFrame(
+            {"id_a": empty, "id_b": empty, "hamming": np.empty(0, np.int64)}
+        )
+    a, b, d = res
+    return pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
+
+
 def simhash_pairs(
     ds: rd.Dataset,
     *,
@@ -548,54 +719,68 @@ def simhash_pairs(
     except Exception:
         n_docs = None
     if n_docs is not None and n_docs <= SMALL_SKETCH_DOCS:
+        # small path: per-bucket vectorized verification on the driver —
+        # one popcount matrix per bucket over the tiny sketch table
         sk, comb = _filter_buckets(sketch_ds.to_pandas(), max_bucket)
-    else:
-        partials = sketch_ds.map_batches(
-            lambda df: df.groupby(["band", "bh"], sort=False).size().rename("n").reset_index(),
+        ids_all, sh_all = sk["id"].to_numpy(), sk["sh"].to_numpy(np.int64)
+        starts, ends = _bucket_bounds(comb)
+        hams: dict[tuple, int] = {}
+        for s, e in zip(starts, ends):
+            res = _simhash_bucket_rows(ids_all[s:e], sh_all[s:e], max_hamming, max_bucket)
+            if res is None:
+                continue
+            for a, b, h in zip(res[0].tolist(), res[1].tolist(), res[2].tolist()):
+                hams[(a, b)] = int(h)
+        out = sorted(hams)
+        return pd.DataFrame(
+            {
+                "id_a": [a for a, _ in out],
+                "id_b": [b for _, b in out],
+                "hamming": [hams[p] for p in out],
+            }
+        )
+    partials = sketch_ds.map_batches(
+        lambda df: df.groupby(["band", "bh"], sort=False).size().rename("n").reset_index(),
+        batch_format="pandas",
+    )
+    folded = _fold_counts(partials, ["band", "bh"])
+    counts = folded[(folded["n"] > 1) & (folded["n"] <= max_bucket)]  # hot-bucket guard
+    if counts.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    collided = np.sort(
+        _combine_band_key(counts["band"].to_numpy(np.int64), counts["bh"].to_numpy(np.int64))
+    )
+    cref = ray.put(collided)
+
+    def sketch_filtered(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(cref)
+        out = sketch(df)
+        comb = _combine_band_key(out["band"].to_numpy(np.int64), out["bh"].to_numpy(np.int64))
+        return out[np.isin(comb, keys)]
+
+    # big path: filtered sketch rows shuffle ONCE by (band, bh) and
+    # verification runs INSIDE map_groups (simhash verify needs only the
+    # sketches, so unlike minhash nothing else is fetched) — the driver
+    # folds verified pairs only
+    verified = (
+        sketch_src.map_batches(sketch_filtered, batch_format="pandas")
+        .groupby(["band", "bh"])
+        .map_groups(
+            lambda g: _emit_simhash_pairs(g, max_hamming, max_bucket),
             batch_format="pandas",
         )
-        folded = _fold_counts(partials, ["band", "bh"])
-        counts = folded[(folded["n"] > 1) & (folded["n"] <= max_bucket)]  # hot-bucket guard
-        if counts.empty:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        collided = np.sort(
-            _combine_band_key(counts["band"].to_numpy(np.int64), counts["bh"].to_numpy(np.int64))
-        )
-        cref = ray.put(collided)
-
-        def sketch_filtered(df: pd.DataFrame) -> pd.DataFrame:
-            keys = ray.get(cref)
-            out = sketch(df)
-            comb = _combine_band_key(out["band"].to_numpy(np.int64), out["bh"].to_numpy(np.int64))
-            return out[np.isin(comb, keys)]
-
-        sk = sketch_src.map_batches(sketch_filtered, batch_format="pandas").to_pandas()
-        sk, comb = _filter_buckets(sk, max_bucket)
-    # per-bucket vectorized verification: one popcount matrix per bucket
-    # instead of a Python loop with an array allocation per pair
-    ids_all, sh_all = sk["id"].to_numpy(), sk["sh"].to_numpy(np.int64)
-    starts, ends = _bucket_bounds(comb)
-    hams: dict[tuple, int] = {}
-    for s, e in zip(starts, ends):
-        bid, first_idx = np.unique(ids_all[s:e], return_index=True)
-        m = len(bid)
-        if m < 2:
-            continue
-        bsh = sh_all[s:e][first_idx]
-        D = hamming64(bsh[:, None], bsh[None, :])
-        iu, ju = np.triu_indices(m, 1)
-        d = D[iu, ju]
-        ok = d <= max_hamming
-        for a, b, h in zip(bid[iu[ok]].tolist(), bid[ju[ok]].tolist(), d[ok].tolist()):
-            hams[(a, b) if a < b else (b, a)] = int(h)
-    out = sorted(hams)
-    return pd.DataFrame(
-        {
-            "id_a": [a for a, _ in out],
-            "id_b": [b for _, b in out],
-            "hamming": [hams[p] for p in out],
-        }
     )
+    frames = list(verified.iter_batches(batch_size=None, batch_format="pandas"))
+    allp = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    )
+    if not len(allp):
+        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    allp = allp.drop_duplicates(["id_a", "id_b"])
+    allp["hamming"] = allp["hamming"].astype(np.int64)
+    return allp.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -663,6 +848,12 @@ def ngram_jaccard_pairs(
         ids_all = posted["id"].to_numpy()
         u, inv, cnt = np.unique(g_all, return_inverse=True, return_counts=True)
         gp, idp = _prefix_filter(g_all, ids_all, cnt[inv], threshold)
+        # hot-gram guard over the PREFIX index (bucket-sorted)
+        bstarts = np.flatnonzero(np.r_[True, gp[1:] != gp[:-1]])
+        bsizes = np.diff(np.r_[bstarts, len(gp)])
+        per_row = np.repeat(bsizes, bsizes)
+        keep = (per_row > 1) & (per_row <= max_posting)
+        pairs = _candidate_pairs(idp[keep], gp[keep].view(np.int64))
     else:
         partials = posting_ds.map_batches(
             lambda df: df.groupby("g", sort=False).size().rename("n").reset_index(),
@@ -687,22 +878,23 @@ def ngram_jaccard_pairs(
             pos = np.minimum(np.searchsorted(gs, g), max(len(gs) - 1, 0))
             gcnt = cs[pos] if len(gs) else np.zeros(len(g), np.int64)
             gp_b, idp_b = _prefix_filter(g, out["id"].to_numpy(), gcnt, threshold)
-            # numpy-indexed result keeps columns on empty batches
-            return pd.DataFrame({"g": gp_b, "id": idp_b})
+            # int64 gram key: u64 keys can mis-compare through the Ray
+            # groupby shuffle; numpy-indexed result keeps columns on
+            # empty batches
+            return pd.DataFrame({"g": gp_b.view(np.int64), "id": idp_b})
 
-        posted = posting_src.map_batches(explode_filtered, batch_format="pandas").to_pandas()
-        gp = posted["g"].to_numpy(np.uint64)
-        idp = posted["id"].to_numpy()
-        o2 = np.argsort(gp, kind="stable")
-        gp, idp = gp[o2], idp[o2]
-    # hot-gram guard over the PREFIX index (bucket-sorted)
-    bstarts = np.flatnonzero(np.r_[True, gp[1:] != gp[:-1]])
-    bsizes = np.diff(np.r_[bstarts, len(gp)])
-    per_row = np.repeat(bsizes, bsizes)
-    keep = (per_row > 1) & (per_row <= max_posting)
-    ids_sorted = idp[keep]
-    comb = gp[keep].view(np.int64)
-    pairs = _candidate_pairs(ids_sorted, comb)
+        # distributed pair enumeration: the prefix-filtered posting rows
+        # shuffle ONCE by gram and pairs (with the hot-gram guard) emit
+        # inside map_groups — the driver folds only the deduped pair set
+        pairs_ds = (
+            posting_src.map_batches(explode_filtered, batch_format="pandas")
+            .groupby("g")
+            .map_groups(
+                lambda grp: _emit_bucket_id_pairs(grp, max_posting),
+                batch_format="pandas",
+            )
+        )
+        pairs = _collect_pair_set(pairs_ds)
     if not pairs:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     return _verified_jaccard_pairs(
@@ -810,14 +1002,14 @@ def _vec_block_refs(ds: rd.Dataset, id_col: str, vec_col: str) -> list:
         .map_batches(normalize, batch_format="pandas")
         .materialize()
     )
-    try:
-        return [
-            bref
-            for bundle in norm.iter_internal_ref_bundles()
-            for bref, _meta in bundle.blocks
-        ]
-    except AttributeError:  # older Ray
-        return list(norm.get_internal_block_refs())
+    return _dataset_block_refs(norm)
+
+
+# embedding_neardup_pairs auto-routes to the LSH variant above this many
+# input blocks: O(B²) block-pair tasks is the exact tool for oracle /
+# audit scales, not the default at corpus scale (10^5 blocks at 100 TB
+# would mean 5x10^9 tasks).
+EXACT_NEARDUP_MAX_BLOCKS = 64
 
 
 def embedding_neardup_pairs(
@@ -826,16 +1018,24 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
+    max_exact_blocks: int | None = None,
 ) -> pd.DataFrame:
     """All pairs with cosine >= threshold — EXACT, distributed.
 
     Normalized vector blocks stay in the object store; one Ray task per
     block pair does the matmul + threshold and returns only matching
     pairs, so the driver materializes nothing but block REFS and the
-    (tiny) result. Cost is O(B²) block pairs — exact by construction;
-    for web-scale high-threshold mining use
-    ``embedding_neardup_pairs_lsh`` (bucketed, approximate) instead."""
+    (tiny) result. Cost is O(B²) block pairs — exact by construction.
+    Above ``max_exact_blocks`` blocks (default EXACT_NEARDUP_MAX_BLOCKS)
+    the call auto-routes to ``embedding_neardup_pairs_lsh`` (bucketed,
+    approximate — the scale path); pass an explicit ``max_exact_blocks``
+    to force either path."""
+    limit = EXACT_NEARDUP_MAX_BLOCKS if max_exact_blocks is None else max_exact_blocks
     blocks = _vec_block_refs(ds, id_col, vec_col)
+    if len(blocks) > limit:
+        return embedding_neardup_pairs_lsh(
+            ds, vec_col=vec_col, id_col=id_col, threshold=threshold
+        )
     tasks = [
         _cosine_block_pair.remote(blocks[i], blocks[j], threshold, i == j)
         for i in range(len(blocks))

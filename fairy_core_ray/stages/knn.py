@@ -188,30 +188,41 @@ def cell_hamming_knn(
     keys): within each spatial cell, each image's k nearest neighbors by
     Hamming distance. groupby(cell) shuffle + vectorized per-group
     all-pairs popcount (cells are small by construction; hot cells are
-    bounded by the tile-assignment salting upstream)."""
+    bounded by the tile-assignment salting upstream). Deterministic
+    tie-break: smaller distance first, then smaller neighbor id."""
 
     def per_cell(g: pd.DataFrame) -> pd.DataFrame:
-        ph = g[phash_col].to_numpy(np.int64)
-        ids = g[id_col].to_numpy()
+        ids_raw = g[id_col].to_numpy()
+        o = np.argsort(ids_raw, kind="stable")  # id-sorted → ties break by smaller id
+        ids = ids_raw[o]
+        ph = g[phash_col].to_numpy(np.int64)[o]
         n = len(g)
         if n == 1:
             return pd.DataFrame(
-                {"cell": g[cell_col].iloc[:0], id_col: [], "neighbor_id": [], "hamming": []}
+                {
+                    "cell": g[cell_col].iloc[:0],
+                    id_col: ids[:0],
+                    "neighbor_id": ids[:0],
+                    "hamming": np.empty(0, np.int64),
+                }
             )
         x = ph.astype(np.uint64)
         D = np.bitwise_xor(x[:, None], x[None, :])
         # SWAR popcount on the matrix
         from fairy_core_ray.functions.hashing import popcount64
 
-        H = popcount64(D.ravel()).reshape(n, n)
+        H = popcount64(D.ravel()).reshape(n, n).astype(np.int64)
         np.fill_diagonal(H, 1 << 30)
         kk = min(k, n - 1)
-        rows = []
-        order = np.argsort(H, axis=1, kind="stable")
-        for i in range(n):
-            for j in order[i, :kk]:
-                rows.append((g[cell_col].iloc[0], ids[i], ids[j], int(H[i, j])))
-        return pd.DataFrame(rows, columns=["cell", id_col, "neighbor_id", "hamming"])
+        order = np.argsort(H, axis=1, kind="stable")[:, :kk]
+        return pd.DataFrame(
+            {
+                "cell": np.repeat(g[cell_col].to_numpy()[:1], n * kk),
+                id_col: np.repeat(ids, kk),
+                "neighbor_id": ids[order.ravel()],
+                "hamming": np.take_along_axis(H, order, axis=1).ravel(),
+            }
+        )
 
     return ds.select_columns([cell_col, id_col, phash_col]).groupby(cell_col).map_groups(
         per_cell, batch_format="pandas"
@@ -241,14 +252,32 @@ def ivf_cosine_ann(
     force while recall is controlled by nprobe (recall-tested vs
     cosine_topk in pytest).
 
-    Scale notes: training reads ``train_sample`` rows (bounded driver
-    materialization, independent of corpus size); assignment + partial
-    top-k are one streaming map_batches pass; partials merge
-    associatively as in cosine_topk."""
+    Scale notes: training reads a bounded RANDOM sample of
+    ``train_sample`` rows (``random_sample`` over all blocks, NOT a
+    first-N ``limit`` — first-N biases every list when storage order is
+    sorted/clustered); assignment + partial top-k are one streaming
+    map_batches pass; partials merge associatively as in cosine_topk."""
     rng = np.random.default_rng(seed)
 
-    # --- train centroids on a bounded sample (spherical k-means) ---
-    sample = ds.select_columns([vec_col]).limit(train_sample).to_pandas()
+    empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+    try:
+        n_total = ds.count()
+    except Exception:
+        n_total = None
+    if n_total == 0:
+        return empty
+
+    # --- train centroids on a bounded random sample (spherical k-means) ---
+    vec_ds = ds.select_columns([vec_col])
+    if n_total is not None and n_total > train_sample:
+        frac = min(1.0, (2.0 * train_sample) / n_total)
+        sample = vec_ds.random_sample(frac, seed=seed).limit(train_sample).to_pandas()
+        if sample.empty:  # sampling underflow on tiny inputs
+            sample = vec_ds.limit(train_sample).to_pandas()
+    else:
+        sample = vec_ds.limit(train_sample).to_pandas()
+    if sample.empty:
+        return empty
     X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     n_lists = min(n_lists, len(X))

@@ -402,3 +402,113 @@ class TestNgramBigPathParity:
         monkeypatch.setattr(dd, "SMALL_SKETCH_DOCS", 0)  # force big path
         assert dd.minhash_lsh_pairs(ds, threshold=0.5).equals(mh_small)
         assert dd.simhash_pairs(ds, max_hamming=3).equals(sh_small)
+
+    def test_big_path_multiblock_parity(self, corpus, monkeypatch):
+        """Big path with the corpus split across many blocks — pair
+        enumeration must survive buckets spanning block boundaries."""
+        ds = rd.from_pandas(corpus).repartition(8)
+        small = dd.minhash_lsh_pairs(rd.from_pandas(corpus), threshold=0.5)
+        monkeypatch.setattr(dd, "SMALL_SKETCH_DOCS", 0)
+        big = dd.minhash_lsh_pairs(ds, threshold=0.5)
+        assert big.equals(small)
+
+
+class TestVerificationTextBudget:
+    def test_chunked_text_refs_match_broadcast(self, corpus, monkeypatch):
+        """Forcing the over-budget path (candidate texts shipped as
+        per-block dict-chunk refs, never a driver dict) must yield the
+        identical verified pair set."""
+        ds = rd.from_pandas(corpus)
+        base = dd.minhash_lsh_pairs(ds, threshold=0.5)
+        monkeypatch.setattr(dd, "TEXT_BROADCAST_BUDGET", 0)
+        chunked = dd.minhash_lsh_pairs(ds, threshold=0.5)
+        assert base.equals(chunked)
+        monkeypatch.setattr(dd, "TEXT_BROADCAST_BUDGET", 1 << 40)
+        ng_base = dd.ngram_jaccard_pairs(ds, n=3, threshold=0.5, max_posting=60)
+        monkeypatch.setattr(dd, "TEXT_BROADCAST_BUDGET", 0)
+        assert ng_base.equals(
+            dd.ngram_jaccard_pairs(ds, n=3, threshold=0.5, max_posting=60)
+        )
+
+
+class TestExactNeardupAutoRoute:
+    def test_routes_to_lsh_above_block_budget(self):
+        rng = np.random.default_rng(7)
+        X = rng.standard_normal((200, 16))
+        X[1] = X[0] + 0.01 * rng.standard_normal(16)  # planted near-dup
+        vecs = pd.DataFrame(
+            {"vec_id": np.arange(200, dtype=np.int64), "embedding": list(X)}
+        )
+        ds = rd.from_pandas(vecs)
+        routed = dd.embedding_neardup_pairs(ds, threshold=0.9, max_exact_blocks=0)
+        lsh = dd.embedding_neardup_pairs_lsh(ds, threshold=0.9)
+        assert routed.equals(lsh)
+        # below the budget the exact path is used (superset-of-LSH recall)
+        exact = dd.embedding_neardup_pairs(ds, threshold=0.9, max_exact_blocks=64)
+        got_exact = set(zip(exact["id_a"].astype(int), exact["id_b"].astype(int)))
+        got_lsh = set(zip(lsh["id_a"].astype(int), lsh["id_b"].astype(int)))
+        assert got_lsh <= got_exact and (0, 1) in got_exact
+
+
+class TestKeepFirstCollisionGuard:
+    def test_hash_collision_does_not_mark_unique_row(self):
+        """A u64 hash collision between a unique key and a dup key must
+        not flip the unique row to dup_first=False (exact key equality
+        confirms membership after the hash match)."""
+        real = dd._key_hash_u64
+        collide_with = real(np.array(["x"], dtype=object))[0]
+
+        def fake(values):
+            h = real(values).copy()
+            arr = np.asarray(values)
+            h[arr == "c-unique"] = collide_with  # forced collision
+            return h
+
+        df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["x", "x", "c-unique"]})
+        ds = rd.from_pandas(df)
+        out = (
+            dd.keep_first(
+                ds,
+                key_fn=lambda t: t["text"].combine_chunks()
+                if hasattr(t["text"], "combine_chunks")
+                else t["text"],
+                order_col="doc_id",
+                _hash_fn=fake,
+            )
+            .to_pandas()
+            .set_index("doc_id")["dup_first"]
+        )
+        assert out[1] and not out[2] and out[3]
+
+
+class TestIvfRandomTraining:
+    def test_recall_on_cluster_sorted_input(self):
+        """Rows sorted by cluster — the case a first-N training sample
+        fails (it would only ever see the first clusters)."""
+        rng = np.random.default_rng(31)
+        centers = rng.standard_normal((6, 24)) * 4.0
+        X = np.concatenate(
+            [centers[i] + 0.1 * rng.standard_normal((100, 24)) for i in range(6)]
+        )
+        vecs = pd.DataFrame(
+            {"vec_id": np.arange(600, dtype=np.int64), "embedding": list(X)}
+        )
+        ds = rd.from_pandas(vecs).repartition(6)
+        qidx = [0, 150, 300, 450, 599]
+        Q = X[qidx]
+        exact = knn_mod.cosine_topk(ds, Q, qidx, k=5)
+        approx = knn_mod.ivf_cosine_ann(
+            ds, Q, qidx, k=5, n_lists=8, nprobe=4, train_sample=128
+        )
+        e = set(zip(exact["query_id"], exact["neighbor_id"]))
+        a = set(zip(approx["query_id"], approx["neighbor_id"]))
+        assert len(e & a) / len(e) >= 0.6
+
+    def test_empty_dataset_returns_empty_frame(self):
+        empty = pd.DataFrame(
+            {"vec_id": pd.Series([], dtype=np.int64), "embedding": []}
+        )
+        ds = rd.from_pandas(empty)
+        out = knn_mod.ivf_cosine_ann(ds, np.ones((1, 4)), [0], k=3)
+        assert len(out) == 0
+        assert list(out.columns) == ["query_id", "neighbor_id", "cosine"]
