@@ -837,7 +837,10 @@ def q_image_thumb_stats(sf_dir: str):
 
 
 def q_langid(sf_dir: str):
-    """heuristic language-ID over documents (actor pool; rows-only)."""
+    """heuristic language-ID over documents (actor pool). Oracle: the
+    trigram counts are non-overlapping substring counts, expressible in
+    SQL as (len(t) - len(replace(t, g, ''))) / len(g); the
+    first-max-wins tie-break becomes a priority CASE chain."""
     return (
         _t(sf_dir, "documents", ["doc_id", "text"], split=8)
         .map_batches(ts.LangId, batch_format="pandas", concurrency=(1, 4))
@@ -845,15 +848,54 @@ def q_langid(sf_dir: str):
     )
 
 
+def _langid_score_sql(lang: str) -> str:
+    """SQL expression mirroring LangId's weighted trigram score (same
+    term order, same non-overlapping count semantics as str.count)."""
+    grams = ts._LANG_PROFILES[lang]
+    terms = []
+    for i, g in enumerate(grams):
+        esc = g.replace("'", "''")
+        terms.append(
+            f"{len(grams) - i} * ((len(t) - len(replace(t, '{esc}', ''))) / {len(g)})"
+        )
+    return " + ".join(terms)
+
+
+LANGID_SQL = (
+    "WITH s AS (SELECT doc_id, "
+    + ", ".join(
+        f"{_langid_score_sql(lang)} AS s_{lang}" for lang in ts._LANG_PROFILES
+    )
+    + " FROM (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents)) "
+    "SELECT doc_id, CASE "
+    "WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en' "
+    "WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es' "
+    "WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_zh THEN 'de' "
+    "WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr' "
+    "WHEN s_zh > 0 THEN 'zh' "
+    "ELSE 'und' END AS lang_pred FROM s ORDER BY doc_id"
+)
+
+
+def _round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
+    """Round-half-away-from-zero, matching DuckDB/C++ std::round — numpy
+    rounds half-to-even, which differs exactly at decimal ties (seen:
+    quality == 0.9053125 → 0.905312 vs 0.905313)."""
+    scale = 10.0 ** digits
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
 def q_quality_scores(sf_dir: str):
-    """quality scoring over documents (rows-only)."""
+    """quality scoring over documents — identical IEEE float ops on both
+    sides (clip == least/greatest, same term order, half-away rounding),
+    so the composite score hash-matches the DuckDB oracle."""
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         feats = ts.quality_features(df["text"])
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].to_numpy(),
-                "quality": np.round(ts.quality_score(feats), 6),
+                "quality": _round_half_away(ts.quality_score(feats), 6),
                 "n_tokens": feats["n_tokens"].to_numpy(),
             }
         )
@@ -945,29 +987,45 @@ def q_flagship_tile_stats(sf_dir: str):
 
 
 def q_cell_phash_knn(sf_dir: str):
-    """per-cell Hamming kNN over the flagship table (north rule: kNN on
-    phash+cell composite; rows-only)."""
-    import pyarrow.parquet as pq
+    """per-cell Hamming kNN over phash+cell composite keys (north rule):
+    res-13 footprint cells (same encoding as geo_cell_hist) + the
+    SQL-mirrorable phash, so the REAL distributed operator
+    (knn.cell_hamming_knn — groupby(cell) shuffle, per-group popcount
+    matrix, (distance, id) tie-break) runs against a DuckDB
+    bit_count(xor) oracle. The flagship image table runs the same
+    operator via flagship_tile_stats' upstream (golden-tested)."""
 
-    from fairy_core_ray.pipelines.flagship import validated_images
-    from fairy_core_ray.sources.synth import ensure_image_dataset
-    from fairy_core_ray.stages.geo_stages import add_cells, add_footprints
+    def add(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lon, lat = event_lonlat(eid)
+        return pa.table(
+            {
+                "cell": pa.array(encode_cells(lon, lat, 13), pa.int64()),
+                "event_id": t["event_id"],
+                "phash": pa.array(doc_phash(eid), pa.int64()),
+            }
+        )
 
-    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    path = ensure_image_dataset(2 * n_docs, seed=42)
-    ds = (
-        validated_images(path, decode=False)
-        .map_batches(lambda t: add_footprints(t), batch_format="pyarrow")
-        .map_batches(lambda t: add_cells(t, 8), batch_format="pyarrow")
-    )
-    return knn_mod.cell_hamming_knn(ds, k=2)
+    ds = _t(sf_dir, "events", ["event_id"]).map_batches(add, batch_format="pyarrow")
+    out = knn_mod.cell_hamming_knn(
+        ds, cell_col="cell", phash_col="phash", id_col="event_id", k=2
+    ).to_pandas()
+    if len(out):
+        out["hamming"] = out["hamming"].astype(np.int64)
+    return out.sort_values(
+        ["cell", "event_id", "hamming", "neighbor_id"]
+    ).reset_index(drop=True)
 
 
 def q_video_frame_sample(sf_dir: str):
-    """video frame-sampling plumbing (rows-only): documents stand in as
-    a deterministic opaque-binary video table; FrameSampleStage explodes
-    one row per sampled frame in an actor pool (stub frame decode,
-    real schema/batch/actor contract — stages/multimodal.py)."""
+    """video frame-sampling: documents stand in as a deterministic
+    opaque-binary video table; FrameSampleStage explodes one row per
+    sampled frame in an actor pool (stub frame decode, real
+    schema/batch/actor contract — stages/multimodal.py). The exploded
+    (video_id, frame_idx) plan is pure index arithmetic, so it runs
+    against a DuckDB generate_series oracle; the stubbed per-frame
+    features stay pytest-pinned
+    (test_frame_sample_stage_explodes_and_is_deterministic)."""
     from fairy_core_ray.stages.multimodal import FrameSampleStage
 
     def to_videos(t: pa.Table) -> pa.Table:
@@ -991,6 +1049,7 @@ def q_video_frame_sample(sf_dir: str):
             batch_size=256,  # frames rematerialize here; keep batches small
             concurrency=2,
         )
+        .select_columns(["video_id", "frame_idx"])
     )
 
 
@@ -1069,30 +1128,72 @@ def q_events_hopping(sf_dir: str):
     return agg
 
 
+# Above this many documents the word-count fold moves off the driver:
+# a distributed groupby(word) sum + per-block top-k partials replace the
+# driver-side vocabulary fold (a 100 TB corpus has a billion-token
+# vocabulary; the driver must never hold it).
+WORD_TOPK_DRIVER_DOCS = 2_000_000
+
+
 def q_word_topk(sf_dir: str):
     """corpus word frequency top-50 — the heavy-hitter pattern: per-batch
-    factorize+bincount partials (one row per DISTINCT word per batch),
-    driver fold, sort-before-truncate. Split semantics match SQL
+    factorize+bincount partials (one row per DISTINCT word per batch,
+    fully vectorized — no per-doc Python), then either a driver fold
+    (small corpora: one Ray execution beats three) or, above
+    WORD_TOPK_DRIVER_DOCS, a distributed groupby(word) fold with
+    per-block top-50 partials (exact: after the shuffle each word lives
+    in exactly one block, so the global top-50 is a subset of the union
+    of per-block top-50s). Split semantics match SQL
     string_split(text, ' ') exactly (single space, empties dropped)."""
+    import itertools
+
+    docs = _t(sf_dir, "documents", ["text"])
+    try:
+        n_docs = docs.count()  # metadata-only on parquet reads
+    except Exception:
+        n_docs = None
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks: list[str] = []
-        for t in df["text"].fillna("").astype(str):
-            toks.extend(t.split(" "))
-        arr = np.array([t for t in toks if t], dtype=object)
-        if not len(arr):
-            return pd.DataFrame({"w": pd.Series([], dtype=object),
-                                 "n": pd.Series([], dtype=np.int64)})
-        codes, uniq = pd.factorize(arr, sort=False)
+        empty = pd.DataFrame(
+            {"w": pd.Series([], dtype=object), "n": pd.Series([], dtype=np.int64)}
+        )
+        s = df["text"].fillna("").astype(str)
+        tok_lists = s.str.split(" ")
+        lens = tok_lists.map(len).to_numpy(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = np.fromiter(
+            itertools.chain.from_iterable(tok_lists), dtype=object, count=total
+        )
+        flat = flat[flat != ""]
+        if not len(flat):
+            return empty
+        codes, uniq = pd.factorize(flat, sort=False)
         return pd.DataFrame({"w": uniq, "n": np.bincount(codes).astype(np.int64)})
 
-    parts = _t(sf_dir, "documents", ["text"]).map_batches(partial, batch_format="pandas")
-    allp = pd.concat(
-        list(parts.iter_batches(batch_size=None, batch_format="pandas")),
-        ignore_index=True,
-    )
-    folded = allp.groupby("w", sort=False)["n"].sum().reset_index()
+    parts = docs.map_batches(partial, batch_format="pandas")
+    if n_docs is not None and n_docs > WORD_TOPK_DRIVER_DOCS:
+        folded_ds = parts.groupby("w").aggregate(rd.aggregate.Sum("n", alias_name="n"))
+        tops = folded_ds.map_batches(
+            lambda df: df.sort_values(
+                ["n", "w"], ascending=[False, True], kind="mergesort"
+            ).head(50),
+            batch_format="pandas",
+        )
+        frames = list(tops.iter_batches(batch_size=None, batch_format="pandas"))
+        folded = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"w": pd.Series([], dtype=object), "n": pd.Series([], dtype=np.int64)}
+        )
+    else:
+        allp = pd.concat(
+            list(parts.iter_batches(batch_size=None, batch_format="pandas")),
+            ignore_index=True,
+        )
+        folded = allp.groupby("w", sort=False)["n"].sum().reset_index()
     out = folded.sort_values(["n", "w"], ascending=[False, True], kind="mergesort").head(50)
+    if len(out):
+        out["n"] = out["n"].astype(np.int64)
     return out.reset_index(drop=True)
 
 
@@ -1140,8 +1241,27 @@ def q_token_quantiles(sf_dir: str):
 
 
 def q_neardup_clusters(sf_dir: str):
+    """connected components over the EXACT embedding near-dup pair set
+    (same threshold as embed_neardup) → (id, rep) canonical clusters,
+    rep = min id of the component. Oracle: recursive min-label CTE over
+    the identical SQL pair set — upgrades the clustering operator from
+    rows-only to hash-checked."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = dd.embedding_neardup_pairs(emb, threshold=0.4)
+    out = dd.cluster_pairs(pairs)
+    if len(out):
+        out["id"] = out["id"].astype(np.int64)
+        out["rep"] = out["rep"].astype(np.int64)
+    else:
+        out = pd.DataFrame({"id": pd.Series([], dtype=np.int64),
+                            "rep": pd.Series([], dtype=np.int64)})
+    return out
+
+
+def q_neardup_clusters_text(sf_dir: str):
     """connected components over verified minhash near-dup pairs →
-    (id, rep) canonical clusters (rows-only; union-find pytest-tested)."""
+    (id, rep) canonical clusters (rows-only; union-find pytest-tested —
+    the LSH candidate set is not SQL-expressible)."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"], split=16)
     pairs = dd.minhash_lsh_pairs(ds, threshold=0.5)
     out = dd.cluster_pairs(pairs)
@@ -1208,6 +1328,7 @@ QUERIES = {
     "word_topk": q_word_topk,
     "token_quantiles": q_token_quantiles,
     "neardup_clusters": q_neardup_clusters,
+    "neardup_clusters_text": q_neardup_clusters_text,
     "required_nullish": q_required_nullish,
     "non_empty_trimmed": q_non_empty_trimmed,
     "enum_event_type": q_enum_event_type,
@@ -1272,6 +1393,59 @@ ORACLE = {
         "round(quantile_cont(c, 0.99), 6) AS p99 FROM ("
         "SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS c "
         "FROM documents)"
+    ),
+    "cell_phash_knn": (
+        f"{_PTS}, c AS (SELECT event_id, {CELL_SQL} AS cell, "
+        "((event_id * 2654435761) % 1000003) AS m1 FROM pts), "
+        f"m AS (SELECT event_id, cell, {PHASH_SQL} AS phash FROM c) "
+        "SELECT a.cell AS cell, a.event_id AS event_id, b.event_id AS neighbor_id, "
+        "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming "
+        "FROM m a JOIN m b ON a.cell = b.cell AND a.event_id <> b.event_id "
+        "QUALIFY row_number() OVER (PARTITION BY a.cell, a.event_id "
+        "ORDER BY bit_count(xor(a.phash, b.phash)), b.event_id) <= 2 "
+        "ORDER BY cell, event_id, hamming, neighbor_id"
+    ),
+    "video_frame_sample": (
+        "WITH v AS (SELECT 'v' || CAST(doc_id AS VARCHAR) AS video_id, "
+        "(doc_id % 40) + 1 AS n FROM documents), "
+        "i AS (SELECT unnest(generate_series(0, 3)) AS i) "
+        "SELECT video_id, CAST(CASE WHEN n <= 4 THEN i ELSE (i * n) // 4 END AS BIGINT) "
+        "AS frame_idx FROM v CROSS JOIN i WHERE i < n ORDER BY video_id, frame_idx"
+    ),
+    "langid": LANGID_SQL,
+    "quality_scores": (
+        "WITH f AS (SELECT doc_id, "
+        "CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) END AS n_tokens, "
+        "len(coalesce(text, '')) AS n_chars, "
+        "len(regexp_extract_all(coalesce(text, ''), '[^\\w\\s]')) AS n_punct, "
+        "regexp_extract_all(lower(coalesce(text, '')), '[A-Za-z0-9_'']+') AS words "
+        "FROM documents), "
+        "g AS (SELECT doc_id, n_tokens, "
+        "n_punct / greatest(1, n_chars) AS punct_ratio, "
+        "CASE WHEN len(words) = 0 THEN 0.0 ELSE "
+        "list_sum(list_transform(words, w -> len(w))) / len(words) END AS mwl "
+        "FROM f) "
+        "SELECT doc_id, "
+        "round(0.4 * least(greatest(n_tokens / 50.0, 0.0), 1.0) "
+        "+ 0.3 * (1.0 - least(greatest(punct_ratio * 5.0, 0.0), 1.0)) "
+        "+ 0.3 * least(greatest((mwl - 1.0) / 5.0, 0.0), 1.0), 6) AS quality, "
+        "CAST(n_tokens AS BIGINT) AS n_tokens FROM g ORDER BY doc_id"
+    ),
+    "neardup_clusters": (
+        "WITH RECURSIVE pairs AS ("
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+        "FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id "
+        "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.4), "
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "reach(id, r) AS ("
+        "SELECT a, b FROM edges "
+        "UNION "
+        "SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a) "
+        "SELECT id, CAST(least(id, min(r)) AS BIGINT) AS rep FROM reach "
+        "GROUP BY id ORDER BY id"
     ),
     "url_check": (
         "WITH d AS (SELECT doc_id, CASE CAST(doc_id % 6 AS INTEGER) "

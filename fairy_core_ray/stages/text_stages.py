@@ -79,30 +79,38 @@ def quality_score(feats: pd.DataFrame) -> np.ndarray:
 
 
 class LangId:
-    """Heuristic trigram language-ID (actor-pool stage: profiles built
+    """Heuristic trigram language-ID (actor-pool stage: patterns compiled
     once per actor). Returns the best-scoring language and its score;
-    'und' when no profile trigram occurs."""
+    'und' when no profile trigram occurs.
+
+    Scoring is vectorized ACROSS the batch: one compiled-regex
+    ``Series.str.count`` pass per (lang, gram) — 50 C-level scans of the
+    batch instead of 50 Python scans per document. Non-overlapping count
+    semantics match ``str.count``; ties keep the first language in
+    profile order (same as the scalar loop it replaced)."""
 
     def __init__(self):
-        self.profiles = {
-            lang: {g: (len(grams) - i) for i, g in enumerate(grams)}
-            for lang, grams in _LANG_PROFILES.items()
-        }
+        self.langs = list(_LANG_PROFILES)
+        self.patterns = [
+            (li, float(len(grams) - i), re.compile(re.escape(g)))
+            for li, (_lang, grams) in enumerate(_LANG_PROFILES.items())
+            for i, g in enumerate(grams)
+        ]
 
     def predict(self, texts: pd.Series) -> tuple[list[str], np.ndarray]:
-        langs: list[str] = []
-        scores = np.zeros(len(texts), dtype=np.float64)
-        for j, t in enumerate(texts.fillna("").astype(str).str.lower()):
-            best_lang, best = "und", 0.0
-            for lang, prof in self.profiles.items():
-                sc = 0.0
-                for g, w in prof.items():
-                    sc += w * t.count(g)
-                if sc > best:
-                    best_lang, best = lang, sc
-            langs.append(best_lang)
-            scores[j] = best
-        return langs, scores
+        n = len(texts)
+        if n == 0:
+            return [], np.zeros(0, dtype=np.float64)
+        s = texts.fillna("").astype(str).str.lower()
+        mat = np.zeros((n, len(self.langs)), dtype=np.float64)
+        for li, w, pat in self.patterns:
+            mat[:, li] += w * s.str.count(pat).to_numpy(np.float64)
+        best_idx = mat.argmax(axis=1)  # first max wins, like the old strict >
+        best = mat[np.arange(n), best_idx]
+        langs = [
+            self.langs[i] if v > 0 else "und" for i, v in zip(best_idx, best)
+        ]
+        return langs, np.where(best > 0, best, 0.0)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         langs, scores = self.predict(batch["text"])

@@ -191,6 +191,50 @@ class TestText:
         )
         assert langs[0] == "en" and scores[0] > 0
 
+    def test_langid_matches_scalar_reference(self):
+        """The vectorized scorer must reproduce the per-doc loop it
+        replaced (same counts, same first-wins tie-break, 'und' zeros)."""
+        texts = pd.Series(
+            [
+                "the quick brown fox and the lazy dog",
+                "la casa de la familia que vive en el mar",
+                "der hund und die katze sind schnell im schnee",
+                "",
+                "xxxx qqqq zzzz",  # no profile trigrams -> und
+                None,
+                "le chat est sur le toit de la maison que",
+            ]
+        )
+        lid = ts.LangId()
+        got_langs, got_scores = lid.predict(texts)
+        profiles = {
+            lang: {g: float(len(grams) - i) for i, g in enumerate(grams)}
+            for lang, grams in ts._LANG_PROFILES.items()
+        }
+        for j, t in enumerate(texts.fillna("").astype(str).str.lower()):
+            best_lang, best = "und", 0.0
+            for lang, prof in profiles.items():
+                sc = sum(w * t.count(g) for g, w in prof.items())
+                if sc > best:
+                    best_lang, best = lang, sc
+            assert got_langs[j] == best_lang
+            assert got_scores[j] == best
+
+    def test_langid_empty_batch(self):
+        langs, scores = ts.LangId().predict(pd.Series([], dtype=object))
+        assert langs == [] and len(scores) == 0
+
+
+class TestWordTopkPaths:
+    def test_distributed_fold_matches_driver_fold(self, monkeypatch):
+        from fairy_core_ray.pipelines import queries as qq
+
+        sf = "/root/testdata/sf0.001"
+        driver = qq.q_word_topk(sf)
+        monkeypatch.setattr(qq, "WORD_TOPK_DRIVER_DOCS", 0)  # force distributed
+        dist = qq.q_word_topk(sf)
+        assert driver.equals(dist)
+
     def test_fingerprint_deterministic_and_sensitive(self):
         s = pd.Series(["hello world this is a document", "a completely different sentence"])
         f1 = ts.rolling_fingerprint(s)
