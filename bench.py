@@ -10,6 +10,10 @@ fresh processes as temporally adjacent pairs, several rounds, and
 reports per-round throughputs + the median scaling efficiency (the
 sandbox proxy for the north rule's N vs 4N cluster criterion; see the
 comments in main() for why pairing and these levels).
+
+--full (or GRAFT_BENCH_FULL=1): time EVERY registered query instead of
+the 15-query headline subset — the per-round regression trend for the
+queries the default run doesn't cover.
 """
 
 from __future__ import annotations
@@ -168,26 +172,33 @@ def headline(sf_dir: str, ncpus: int) -> dict:
     }
 
 
-def run_queries(sf_dir: str) -> dict:
+def run_queries(sf_dir: str, full: bool = False) -> dict:
+    """Per-query wall times. Default: the 15-query headline subset the
+    driver trends round-to-round; ``full`` times EVERY registered query
+    (``--full`` / GRAFT_BENCH_FULL=1) so regressions in unbenched
+    queries (asof_last_order, sessionize, ...) stay visible."""
     from fairy_core_ray.pipelines.queries import QUERIES
 
-    names = [
-        "tpch_q1",
-        "events_hourly",
-        "geo_cell_hist",
-        "geo_pip",
-        "geo_knn",
-        "dedup_exact_md5",
-        "embed_knn",
-        "embed_neardup",
-        "token_stats",
-        "minhash_pairs",
-        "simhash_pairs",
-        "ngram_pairs",
-        "group_incomplete",
-        "url_check",
-        "word_topk",
-    ]
+    if full:
+        names = list(QUERIES)
+    else:
+        names = [
+            "tpch_q1",
+            "events_hourly",
+            "geo_cell_hist",
+            "geo_pip",
+            "geo_knn",
+            "dedup_exact_md5",
+            "embed_knn",
+            "embed_neardup",
+            "token_stats",
+            "minhash_pairs",
+            "simhash_pairs",
+            "ngram_pairs",
+            "group_incomplete",
+            "url_check",
+            "word_topk",
+        ]
     out = {}
     for name in names:
         t0 = time.time()
@@ -324,9 +335,12 @@ def main():
 
     import ray
 
+    full = "--full" in sys.argv or bool(os.environ.get("GRAFT_BENCH_FULL"))
     h = headline(sf_dir, ncpus)
     queries = (
-        {} if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else run_queries(sf_dir)
+        {}
+        if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY")
+        else run_queries(sf_dir, full=full)
     )
     print(
         json.dumps(
@@ -339,6 +353,10 @@ def main():
                 "num_cpus": ncpus,
                 "images": h["images"],
                 "images_per_sec": round(h["images_per_sec"], 1),
+                # probe-measured effective cores: the scaling parent reads
+                # this from the child JSON (it was silently dropped before,
+                # collapsing eff_per_core to the raw ratio)
+                "eff_cores": h.get("eff_cores"),
             }
         )
     )

@@ -5,7 +5,12 @@ preflight (GEO profile), tile (flagship resumable tiled output).
 Usage:
   python -m fairy_core_ray.cli validate --rulepack RP --inputs name=path ... [--out-dir D]
   python -m fairy_core_ray.cli preflight --rulepack RP --samples S --files F [--out-dir D]
+  python -m fairy_core_ray.cli run --rulepack RP --samples S --files F --out R.json
   python -m fairy_core_ray.cli tile --images DIR --out DIR [--target-rows N]
+
+``run`` is the legacy single-file entry (reference cli/run.py:213-371):
+report JSON + .md one-pager + .fairy_last_run.json diff cache next to
+--out, console summary with provenance and resolved-codes diff.
 
 Exit code 0 iff no FAIL findings (validate/preflight), mirroring the
 reference's submission_ready gating (cli/validate.py:128,
@@ -134,6 +139,106 @@ def cmd_preflight(args) -> int:
     return 0 if ready else 1
 
 
+def cmd_run(args) -> int:
+    """Legacy single-file preflight entry, mirroring the reference's
+    older ``fairy preflight --out report.json`` flow
+    (/root/reference/src/fairy/cli/run.py:213-371): report JSON at
+    ``--out``, markdown one-pager at ``out`` with ``.md`` suffix,
+    last-run diff cache at ``out``'s directory (.fairy_last_run.json),
+    a human console summary with input provenance + example finding +
+    resolved-diff block, and exit code 0 iff submission_ready. Semantic
+    delta vs the reference line: the cache keeps fail/warn codes only —
+    v1 results include a ``pass`` row per clean rule, so caching every
+    code (run.py:256) would make a FIXED rule never show as resolved."""
+    _init_ray()
+    from fairy_core_ray.preflight import run_preflight
+    from fairy_core_ray.state.contracts import validate_report
+    from fairy_core_ray.state.markdown import preflight_markdown
+    from fairy_core_ray.state.runcache import (
+        CACHE_NAME,
+        load_last_codes,
+        save_last_codes,
+    )
+
+    report = run_preflight(args.rulepack, args.samples, args.files)
+    if args.fairy_version:
+        report["engine"]["fairy_core_version"] = args.fairy_version
+        legacy = report.get("_legacy", {}).get("attestation")
+        if legacy:
+            legacy["fairy_version"] = args.fairy_version
+    validate_report(report)
+    out = os.path.abspath(args.out)
+    out_dir = os.path.dirname(out) or "."
+    os.makedirs(out_dir, exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(report, f, ensure_ascii=False, indent=2, sort_keys=True)
+
+    results = report["results"]
+    curr_codes = {r["rule"] for r in results if r["level"] in ("fail", "warn")}
+    had_baseline = os.path.isfile(os.path.join(out_dir, CACHE_NAME))
+    prior_codes = load_last_codes(out_dir) if had_baseline else None
+    resolved = sorted(prior_codes - curr_codes) if prior_codes is not None else []
+    save_last_codes(out_dir, curr_codes)
+    md_path = os.path.splitext(out)[0] + ".md"
+    with open(md_path, "w") as f:
+        f.write(preflight_markdown(report, resolved, prior_codes))
+
+    meta, summary = report["metadata"], report["summary"]
+    rp_meta = meta.get("rulepack", {})
+    fail_codes = sorted({r["rule"] for r in results if r["level"] == "fail"})
+    warn_codes = sorted({r["rule"] for r in results if r["level"] == "warn"})
+    by_level = summary.get("by_level", {})
+    ready = by_level.get("fail", 0) == 0
+    print("")
+    print("=== FAIRy Preflight ===")
+    rp_id = rp_meta.get("id") or rp_meta.get("name") or "UNKNOWN_RULEPACK"
+    print(f"Rulepack:         {rp_id}@{rp_meta.get('version') or '0.0.0'}")
+    print(f"Rulepack path:    {os.path.abspath(args.rulepack)}")
+    print(f"fairy_core_version: {report['engine']['fairy_core_version']}")
+    print(f"FAIL findings:    {by_level.get('fail', 0)} {fail_codes}")
+    print(f"WARN findings:    {by_level.get('warn', 0)} {warn_codes}")
+    print(f"submission_ready: {ready}")
+    print(f"Report JSON:      {out}")
+    print("")
+    print("Input provenance:")
+    for label in ("samples", "files"):
+        info = meta.get("inputs", {}).get(label, {})
+        if not info:
+            print(f"{label}.tsv: (no input metadata)")
+            continue
+        print(f"{label}.tsv sha256: {info.get('sha256', '?')}")
+        print(f"  path: {info.get('path', '?')}")
+        print(f"  rows:{info.get('n_rows', '?')} cols:{info.get('n_cols', '?')}")
+    print("")
+    fails = [r for r in results if r["level"] == "fail"]
+    if fails:
+        r0 = fails[0]
+        print("Example result:")
+        print(f"  [{r0['level']}] {r0['rule']} (count: {r0['count']})")
+        if r0.get("samples"):
+            s0 = r0["samples"][0]
+            loc = []
+            if s0.get("row"):
+                loc.append(f"row {s0['row']}")
+            if s0.get("column"):
+                loc.append(f"column '{s0['column']}'")
+            if loc:
+                print(f"    location: {', '.join(loc)}")
+            if s0.get("message"):
+                print(f"    message: {s0['message']}")
+        print("")
+    print("Resolved since last run:")
+    if prior_codes is None:
+        print("  (no baseline from prior run)")
+    elif not resolved:
+        print("  (no previously-reported issues resolved)")
+    else:
+        for code in resolved:
+            print(f"  ✔ {code}")
+    print("")
+    return 0 if ready else 1
+
+
 def cmd_export(args) -> int:
     _init_ray()
     from fairy_core_ray.state.export import NotSubmissionReady, export_submission
@@ -183,6 +288,15 @@ def main(argv=None) -> int:
     f.add_argument("--files", required=True)
     f.add_argument("--out-dir")
 
+    r = sub.add_parser(
+        "run", help="legacy single-file preflight (reference cli/run.py)"
+    )
+    r.add_argument("--rulepack", required=True)
+    r.add_argument("--samples", required=True)
+    r.add_argument("--files", required=True)
+    r.add_argument("--out", required=True, help="report JSON file path")
+    r.add_argument("--fairy-version", default=None)
+
     e = sub.add_parser("export")
     e.add_argument("--rulepack", required=True)
     e.add_argument("--samples", required=True)
@@ -204,6 +318,7 @@ def main(argv=None) -> int:
     rc = {
         "validate": cmd_validate,
         "preflight": cmd_preflight,
+        "run": cmd_run,
         "export": cmd_export,
         "tile": cmd_tile,
     }[args.cmd](args)

@@ -97,3 +97,52 @@ def test_tile_writes_resumable_output(tmp_path):
     shards = manifest["shards"]
     assert shards and all((out / f"{s['shard']}.parquet").exists() for s in shards)
     assert all((out / f"{s['shard']}.lineage.json").exists() for s in shards)
+
+
+def test_run_legacy_single_file_entry(tmp_path, capsys):
+    """Legacy `run` entry (reference cli/run.py:213-371 artifact
+    contract): report JSON at --out, .md one-pager beside it,
+    .fairy_last_run.json diff cache, console summary with baseline /
+    resolved-codes diff across two runs, exit code on submission_ready."""
+    samples = tmp_path / "samples.tsv"
+    samples.write_text("sample_id\tname\ns1\ta\n")
+    files = tmp_path / "files.tsv"
+    files.write_text("file_name\tsample_id\nf.fq\ts1\n")
+
+    def rp(path, required):
+        path.write_text(json.dumps({
+            "meta": {"name": "p", "version": "1"},
+            "rules": [{"id": "R1", "type": "check", "code": "R1",
+                       "severity": "FAIL", "where": "samples.tsv",
+                       "why": "w", "how_to_fix": "h",
+                       "check": {"type": "require_columns",
+                                 "required_columns": [required]}}],
+        }))
+        return path
+
+    rp_bad = rp(tmp_path / "bad.json", "nope")
+    rp_ok = rp(tmp_path / "ok.json", "sample_id")
+    out = tmp_path / "o" / "report.json"
+
+    rc = main(["run", "--rulepack", str(rp_bad), "--samples", str(samples),
+               "--files", str(files), "--out", str(out),
+               "--fairy-version", "9.9.9"])
+    assert rc == 1  # FAIL finding -> not submission_ready
+    report = json.loads(out.read_text())
+    assert report["engine"]["fairy_core_version"] == "9.9.9"
+    assert (tmp_path / "o" / "report.md").read_text().strip()
+    cache = json.loads((tmp_path / "o" / ".fairy_last_run.json").read_text())
+    assert cache["codes"] == ["R1"]
+    cap = capsys.readouterr().out
+    assert "=== FAIRy Preflight ===" in cap
+    assert "(no baseline from prior run)" in cap
+    assert "submission_ready: False" in cap
+
+    rc2 = main(["run", "--rulepack", str(rp_ok), "--samples", str(samples),
+                "--files", str(files), "--out", str(out)])
+    assert rc2 == 0
+    cap2 = capsys.readouterr().out
+    assert "submission_ready: True" in cap2
+    assert "✔ R1" in cap2  # resolved since last run
+    cache2 = json.loads((tmp_path / "o" / ".fairy_last_run.json").read_text())
+    assert cache2["codes"] == []
