@@ -580,6 +580,71 @@ def q_geo_knn(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# raster <-> vector (stages/raster_stages.py; north rule "raster<->vector")
+# ---------------------------------------------------------------------------
+
+# one fixed analysis grid over the synthetic footprint box — the span is
+# exactly 1.0 x 1.0 in doubles, so scale = width / span folds to an
+# exact small constant on both sides
+RASTER_BBOX = (-122.6, 37.2, -121.6, 38.2)
+RASTER_W = 96
+RASTER_H = 96
+
+# SQL mirrors of pixel_of / the cell-size forms in raster_stages.py —
+# token-for-token the same double expressions numpy evaluates
+_PX_SQL = "CAST(floor((lon - (-122.6)) * (96.0 / ((-121.6) - (-122.6)))) AS BIGINT)"
+_PY_SQL = "CAST(floor((lat - 37.2) * (96.0 / (38.2 - 37.2))) AS BIGINT)"
+_CW_SQL = "(((-121.6) - (-122.6)) / 96.0)"
+_CH_SQL = "((38.2 - 37.2) / 96.0)"
+_RASTER_SQL = (
+    f"r AS (SELECT {_PX_SQL} AS px, {_PY_SQL} AS py, "
+    "CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY px, py)"
+)
+
+
+def _raster(sf_dir: str) -> pd.DataFrame:
+    from fairy_core_ray.stages import raster_stages as rs
+
+    return rs.rasterize_counts(
+        _events_points(sf_dir), bbox=RASTER_BBOX, width=RASTER_W, height=RASTER_H
+    )
+
+
+def q_geo_rasterize(sf_dir: str):
+    """vector -> raster: distributed per-batch (pixel, count) partials
+    over the event points, grid-bounded fold -> (px, py, n)."""
+    return _raster(sf_dir)
+
+
+def q_geo_vectorize(sf_dir: str):
+    """raster -> vector: polygonize each nonzero pixel into an
+    axis-aligned rect feature with geographic bounds."""
+    from fairy_core_ray.stages import raster_stages as rs
+
+    return rs.vectorize_pixels(
+        _raster(sf_dir), bbox=RASTER_BBOX, width=RASTER_W, height=RASTER_H
+    )
+
+
+def q_geo_zonal_stats(sf_dir: str):
+    """raster x vector overlay: per tile rect, count + sum of raster
+    pixels whose center falls inside (half-open, like geo_pip)."""
+    from fairy_core_ray.stages import raster_stages as rs
+
+    return rs.zonal_stats(
+        _raster(sf_dir), RECTS, bbox=RASTER_BBOX, width=RASTER_W, height=RASTER_H
+    )
+
+
+def q_geo_hotspots(sf_dir: str):
+    """raster -> vector features: 4-adjacent components of pixels above
+    2x the grid-mean count -> (comp, n_pixels, total, bbox)."""
+    from fairy_core_ray.stages import raster_stages as rs
+
+    return rs.hotspot_components(_raster(sf_dir), width=RASTER_W, height=RASTER_H)
+
+
+# ---------------------------------------------------------------------------
 # dedup / similarity / text
 # ---------------------------------------------------------------------------
 
@@ -1349,6 +1414,10 @@ QUERIES = {
     "geo_pip_unmatched": q_geo_pip_unmatched,
     "geo_tile_hist": q_geo_tile_hist,
     "geo_knn": q_geo_knn,
+    "geo_rasterize": q_geo_rasterize,
+    "geo_vectorize": q_geo_vectorize,
+    "geo_zonal_stats": q_geo_zonal_stats,
+    "geo_hotspots": q_geo_hotspots,
     "dedup_exact_md5": q_dedup_exact_md5,
     "embed_knn": q_embed_knn,
     "embed_neardup": q_embed_neardup,
@@ -1530,6 +1599,49 @@ ORACLE = {
         "(CAST(epoch_us(ts) AS BIGINT) // 3600000000) * 3600 AS hour_ts, "
         "count(*) AS n_events, round(sum(value), 4) AS s_value "
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "geo_rasterize": (
+        f"{_PTS}, {_RASTER_SQL} SELECT px, py, n FROM r ORDER BY py, px"
+    ),
+    "geo_vectorize": (
+        f"{_PTS}, {_RASTER_SQL} SELECT px, py, "
+        f"(-122.6) + px * {_CW_SQL} AS lon0, "
+        f"37.2 + py * {_CH_SQL} AS lat0, "
+        f"(-122.6) + (px + 1) * {_CW_SQL} AS lon1, "
+        f"37.2 + (py + 1) * {_CH_SQL} AS lat1, n "
+        "FROM r ORDER BY py, px"
+    ),
+    "geo_zonal_stats": (
+        f"{_PTS}, {_RASTER_SQL}, "
+        f"c AS (SELECT (-122.6) + (px + 0.5) * {_CW_SQL} AS cx, "
+        f"37.2 + (py + 0.5) * {_CH_SQL} AS cy, n FROM r), "
+        f"rects(tile_id, x0, y0, x1, y1) AS (VALUES {RECTS_SQL_VALUES}) "
+        "SELECT tile_id, CAST(count(*) AS BIGINT) AS n_pixels, "
+        "CAST(sum(n) AS BIGINT) AS total FROM c JOIN rects "
+        "ON cx >= x0 AND cx < x1 AND cy >= y0 AND cy < y1 "
+        "GROUP BY tile_id ORDER BY tile_id"
+    ),
+    "geo_hotspots": (
+        f"WITH RECURSIVE pts AS ({EVENT_LONLAT_SQL}), {_RASTER_SQL}, "
+        "pixn AS (SELECT py * 96 + px AS pix, n FROM r), "
+        "tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM pixn), "
+        "hot AS (SELECT pix, n FROM pixn, tot WHERE n > 2.0 * t / 9216.0), "
+        "edges AS ("
+        "SELECT a.pix AS a, b.pix AS b FROM hot a JOIN hot b "
+        "ON b.pix = a.pix + 1 AND (a.pix % 96) <> 95 "
+        "UNION ALL "
+        "SELECT a.pix, b.pix FROM hot a JOIN hot b ON b.pix = a.pix + 96), "
+        "sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges), "
+        "reach(id, r2) AS (SELECT a, b FROM sym "
+        "UNION SELECT reach.id, e.b FROM reach JOIN sym e ON reach.r2 = e.a), "
+        "lab AS (SELECT id, least(id, min(r2)) AS rep FROM reach GROUP BY id), "
+        "f AS (SELECT h.pix, h.n, coalesce(l.rep, h.pix) AS comp "
+        "FROM hot h LEFT JOIN lab l ON l.id = h.pix) "
+        "SELECT CAST(comp AS BIGINT) AS comp, CAST(count(*) AS BIGINT) AS n_pixels, "
+        "CAST(sum(n) AS BIGINT) AS total, "
+        "CAST(min(pix % 96) AS BIGINT) AS px0, CAST(min(pix // 96) AS BIGINT) AS py0, "
+        "CAST(max(pix % 96) AS BIGINT) AS px1, CAST(max(pix // 96) AS BIGINT) AS py1 "
+        "FROM f GROUP BY comp ORDER BY comp"
     ),
     "geo_cell_hist": (
         f"{_PTS} SELECT {CELL_SQL} AS cell, count(*) AS n_points "
