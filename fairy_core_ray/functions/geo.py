@@ -60,6 +60,22 @@ def cell_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
     return (np.int64(parent_res) << np.int64(58)) | (ix << np.int64(29)) | iy
 
 
+def cell_kring(cell: int, k: int = 1) -> np.ndarray:
+    """All cells within Chebyshev distance ``k`` of ``cell`` at the same
+    resolution — the H3 ``kRing`` analog on the quadtree grid. Includes
+    the center; clipped at the grid edges (no wraparound), so the ring
+    of an edge cell is smaller. Returns sorted int64 cell ids."""
+    res = int(cell) >> 58
+    n = 1 << res
+    ix = (int(cell) >> 29) & ((1 << 29) - 1)
+    iy = int(cell) & ((1 << 29) - 1)
+    xs = np.arange(max(0, ix - k), min(n - 1, ix + k) + 1, dtype=np.int64)
+    ys = np.arange(max(0, iy - k), min(n - 1, iy + k) + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    cells = (np.int64(res) << np.int64(58)) | (gx.ravel() << np.int64(29)) | gy.ravel()
+    return np.sort(cells)
+
+
 def cell_bounds(cell: int) -> tuple[float, float, float, float]:
     """(lon_min, lat_min, lon_max, lat_max) of one cell."""
     res = cell >> 58

@@ -105,6 +105,18 @@ KNN_QUERIES = [
 ]
 KNN_Q_SQL_VALUES = ", ".join(f"({q}, {x!r}, {y!r})" for q, x, y in KNN_QUERIES)
 
+
+def _kring_q_values() -> str:
+    """(query_id, qix, qiy) VALUES rows for the kring oracle — the query
+    cells' grid coordinates computed by the SAME encode_cells kernel the
+    Ray query uses, inlined as integers (so the SQL side never repeats
+    the float->cell arithmetic for the query points)."""
+    rows = []
+    for q, x, y in KNN_QUERIES:
+        c = int(encode_cells(np.array([x]), np.array([y]), 13)[0])
+        rows.append(f"({q}, {(c >> 29) & ((1 << 29) - 1)}, {c & ((1 << 29) - 1)})")
+    return ", ".join(rows)
+
 PHASH_SQL = "((m1 * m1 * 3 + m1 * 65537 + 11) % 2305843009213693951)"
 PHASH_M1_SQL = "((doc_id * 2654435761) % 1000003)"
 
@@ -576,6 +588,46 @@ def q_geo_knn(sf_dir: str):
     out = allp.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["query_id"] = out["query_id"].astype(np.int64)
     out["neighbor_id"] = out["neighbor_id"].astype(np.int64)
+    return out
+
+
+def q_geo_kring_count(sf_dir: str):
+    """cell-index neighborhood count (H3 kRing analog): events whose
+    res-13 cell lies in the 1-ring of each query point's cell —
+    broadcast ring sets, per-batch vectorized membership partials,
+    driver fold. Queries with zero events are dropped (inner-join
+    semantics, like the SQL oracle)."""
+    from fairy_core_ray.functions.geo import cell_kring
+
+    rings = {
+        q: cell_kring(int(encode_cells(np.array([x]), np.array([y]), 13)[0]), 1)
+        for q, x, y in KNN_QUERIES
+    }
+    rref = ray.put(rings)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rg = ray.get(rref)
+        lon, lat = event_lonlat(t["event_id"].to_numpy())
+        cells = encode_cells(lon, lat, 13)
+        return pd.DataFrame(
+            {
+                "query_id": np.fromiter(rg, dtype=np.int64),
+                "n_events": np.array(
+                    [np.isin(cells, r).sum() for r in rg.values()], dtype=np.int64
+                ),
+            }
+        )
+
+    parts = _t(sf_dir, "events", ["event_id"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    allp = pd.concat(
+        list(parts.iter_batches(batch_size=None, batch_format="pandas")),
+        ignore_index=True,
+    )
+    out = allp.groupby("query_id", sort=True)["n_events"].sum().reset_index()
+    out = out[out["n_events"] > 0].reset_index(drop=True)
+    out["n_events"] = out["n_events"].astype(np.int64)
     return out
 
 
@@ -1414,6 +1466,7 @@ QUERIES = {
     "geo_pip_unmatched": q_geo_pip_unmatched,
     "geo_tile_hist": q_geo_tile_hist,
     "geo_knn": q_geo_knn,
+    "geo_kring_count": q_geo_kring_count,
     "geo_rasterize": q_geo_rasterize,
     "geo_vectorize": q_geo_vectorize,
     "geo_zonal_stats": q_geo_zonal_stats,
@@ -1599,6 +1652,15 @@ ORACLE = {
         "(CAST(epoch_us(ts) AS BIGINT) // 3600000000) * 3600 AS hour_ts, "
         "count(*) AS n_events, round(sum(value), 4) AS s_value "
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "geo_kring_count": (
+        f"{_PTS}, e AS (SELECT "
+        "CAST(floor((lon + 180.0) / 360.0 * 8192) AS BIGINT) AS ix, "
+        "CAST(floor((lat + 90.0) / 180.0 * 8192) AS BIGINT) AS iy FROM pts), "
+        f"q(query_id, qix, qiy) AS (VALUES {_kring_q_values()}) "
+        "SELECT query_id, CAST(count(*) AS BIGINT) AS n_events FROM q JOIN e "
+        "ON abs(e.ix - qix) <= 1 AND abs(e.iy - qiy) <= 1 "
+        "GROUP BY query_id ORDER BY query_id"
     ),
     "geo_rasterize": (
         f"{_PTS}, {_RASTER_SQL} SELECT px, py, n FROM r ORDER BY py, px"

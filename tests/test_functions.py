@@ -119,6 +119,26 @@ class TestGeo:
         parent = cell_parent(child, 10)
         np.testing.assert_array_equal(parent, encode_cells(lon, lat, 10))
 
+    def test_cell_kring_interior_and_edge(self):
+        from fairy_core_ray.functions.geo import cell_kring
+
+        res, n = 13, 1 << 13
+        mk = lambda ix, iy: (res << 58) | (ix << 29) | iy
+        # interior: full 3x3 Chebyshev ball, sorted, includes center
+        ring = cell_kring(mk(100, 200), 1)
+        expect = sorted(
+            mk(100 + dx, 200 + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        )
+        assert ring.tolist() == expect
+        assert mk(100, 200) in ring
+        # grid corner: clipped to 2x2, no wraparound
+        corner = cell_kring(mk(0, 0), 1)
+        assert corner.tolist() == sorted(mk(dx, dy) for dx in (0, 1) for dy in (0, 1))
+        # far edge
+        edge = cell_kring(mk(n - 1, 5), 2)
+        assert all(((c >> 29) & ((1 << 29) - 1)) <= n - 1 for c in edge.tolist())
+        assert len(edge) == 3 * 5
+
     def test_pip_square_and_concave(self):
         xs = np.array([0.0, 2.0, 2.0, 0.0])
         ys = np.array([0.0, 0.0, 2.0, 2.0])
