@@ -50,6 +50,33 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 
+# Above this many documents the sketch-bucket count fold moves off the
+# driver: the per-batch partials aggregate in a distributed groupby and
+# only COLLIDED bucket keys (1 < n <= max_bucket) return — O(duplicated
+# buckets), never the O(docs x bands) full count table. Below it the
+# driver fold wins (a Ray sort-groupby costs seconds of fixed overhead
+# on tables this small — see _fold_counts).
+SKETCH_FOLD_DRIVER_DOCS = 5_000_000
+
+
+def _collided_counts(
+    partials, keys: list[str], max_bucket: int, n_docs: int | None
+) -> pd.DataFrame:
+    """Bucket-count rows restricted to 1 < n <= max_bucket, folded on
+    the driver below SKETCH_FOLD_DRIVER_DOCS and via a distributed
+    groupby above it (used by the minhash/simhash big paths, whose ONLY
+    use of the counts is the collided-key broadcast; the ngram path
+    keeps the full fold — its prefix filter needs every gram's count)."""
+    if n_docs is not None and n_docs > SKETCH_FOLD_DRIVER_DOCS:
+        agg = partials.groupby(keys).aggregate(rd.aggregate.Sum("n", alias_name="n"))
+        dup = agg.filter(expr="n > 1").to_pandas()
+        return dup[dup["n"] <= max_bucket]
+    folded = _fold_counts(partials, keys)
+    if folded.empty:
+        return folded
+    return folded[(folded["n"] > 1) & (folded["n"] <= max_bucket)]
+
+
 def _fold_counts(ds_partials, keys: list[str]) -> pd.DataFrame:
     """Per-batch partial counts + driver fold. The partial stream is one
     row per distinct key per batch — for sketch/posting tables this is
@@ -550,8 +577,7 @@ def minhash_lsh_pairs(
             lambda df: df.groupby(["band", "bh"], sort=False).size().rename("n").reset_index(),
             batch_format="pandas",
         )
-        folded = _fold_counts(partials, ["band", "bh"])
-        counts = folded[(folded["n"] > 1) & (folded["n"] <= max_bucket)]  # hot-bucket guard
+        counts = _collided_counts(partials, ["band", "bh"], max_bucket, n_docs)
         if counts.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
         collided = np.sort(
@@ -743,8 +769,7 @@ def simhash_pairs(
         lambda df: df.groupby(["band", "bh"], sort=False).size().rename("n").reset_index(),
         batch_format="pandas",
     )
-    folded = _fold_counts(partials, ["band", "bh"])
-    counts = folded[(folded["n"] > 1) & (folded["n"] <= max_bucket)]  # hot-bucket guard
+    counts = _collided_counts(partials, ["band", "bh"], max_bucket, n_docs)
     if counts.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
     collided = np.sort(

@@ -447,6 +447,18 @@ class TestNgramBigPathParity:
         assert dd.minhash_lsh_pairs(ds, threshold=0.5).equals(mh_small)
         assert dd.simhash_pairs(ds, max_hamming=3).equals(sh_small)
 
+    def test_distributed_count_fold_parity(self, corpus, monkeypatch):
+        """Forcing the distributed bucket-count fold (the branch that at
+        corpus scale keeps the O(docs x bands) count table off the
+        driver) must not change the minhash/simhash pair sets."""
+        ds = rd.from_pandas(corpus)
+        mh_small = dd.minhash_lsh_pairs(ds, threshold=0.5)
+        sh_small = dd.simhash_pairs(ds, max_hamming=3)
+        monkeypatch.setattr(dd, "SMALL_SKETCH_DOCS", 0)  # force big path
+        monkeypatch.setattr(dd, "SKETCH_FOLD_DRIVER_DOCS", 0)  # force dist fold
+        assert dd.minhash_lsh_pairs(ds, threshold=0.5).equals(mh_small)
+        assert dd.simhash_pairs(ds, max_hamming=3).equals(sh_small)
+
     def test_big_path_multiblock_parity(self, corpus, monkeypatch):
         """Big path with the corpus split across many blocks — pair
         enumeration must survive buckets spanning block boundaries."""
