@@ -487,6 +487,29 @@ def q_geo_cell_hist(sf_dir: str):
     )
 
 
+def q_geo_parent_hist(sf_dir: str):
+    """cell-hierarchy rollup: encode at res 13, roll up to the res-10
+    parent with pure bit arithmetic (functions/geo.py:cell_parent), then
+    the same partial-count + distributed groupby fold as geo_cell_hist —
+    the coarse-tile aggregation step of a raster-tile pyramid."""
+    from fairy_core_ray.functions.geo import cell_parent
+
+    def partial(t: pa.Table) -> pa.Table:
+        lon, lat = event_lonlat(t["event_id"].to_numpy())
+        parents = cell_parent(encode_cells(lon, lat, 13), 10)
+        uniq, counts = np.unique(parents, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(uniq, pa.int64()), "partial_n": pa.array(counts, pa.int64())}
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(rd.aggregate.Sum("partial_n", alias_name="n_points"))
+    )
+
+
 def _rect_polys():
     return [
         {"tile_id": tid, "xs": [x0, x1, x1, x0], "ys": [y0, y0, y1, y1]}
@@ -1466,6 +1489,7 @@ QUERIES = {
     "geo_pip_unmatched": q_geo_pip_unmatched,
     "geo_tile_hist": q_geo_tile_hist,
     "geo_knn": q_geo_knn,
+    "geo_parent_hist": q_geo_parent_hist,
     "geo_kring_count": q_geo_kring_count,
     "geo_rasterize": q_geo_rasterize,
     "geo_vectorize": q_geo_vectorize,
@@ -1652,6 +1676,13 @@ ORACLE = {
         "(CAST(epoch_us(ts) AS BIGINT) // 3600000000) * 3600 AS hour_ts, "
         "count(*) AS n_events, round(sum(value), 4) AS s_value "
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "geo_parent_hist": (
+        f"{_PTS}, e AS (SELECT "
+        "CAST(floor((lon + 180.0) / 360.0 * 8192) AS BIGINT) AS ix, "
+        "CAST(floor((lat + 90.0) / 180.0 * 8192) AS BIGINT) AS iy FROM pts) "
+        "SELECT 10 * 288230376151711744 + (ix // 8) * 536870912 + (iy // 8) "
+        "AS cell, count(*) AS n_points FROM e GROUP BY cell ORDER BY cell"
     ),
     "geo_kring_count": (
         f"{_PTS}, e AS (SELECT "
