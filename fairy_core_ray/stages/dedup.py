@@ -58,6 +58,14 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 # on tables this small — see _fold_counts).
 SKETCH_FOLD_DRIVER_DOCS = 5_000_000
 
+# Above this many documents the ngram path stops broadcasting the global
+# gram-count table (O(vocab) driver + object-store state — a 10^9-doc
+# web corpus has a multi-billion-gram vocabulary) and switches to the
+# count-join path: counts attach inside a groupby(g), prefix filtering
+# runs inside a groupby(id), pairs emit per gram. More shuffle volume,
+# zero corpus-proportional single-node state.
+NGRAM_BROADCAST_DOCS = 20_000_000
+
 
 def _collided_counts(
     partials, keys: list[str], max_bucket: int, n_docs: int | None
@@ -879,6 +887,42 @@ def ngram_jaccard_pairs(
         per_row = np.repeat(bsizes, bsizes)
         keep = (per_row > 1) & (per_row <= max_posting)
         pairs = _candidate_pairs(idp[keep], gp[keep].view(np.int64))
+    elif n_docs is not None and n_docs > NGRAM_BROADCAST_DOCS:
+        # count-join path: the vocabulary never materializes anywhere —
+        # per-gram counts attach inside a groupby(g) shuffle, each doc
+        # prefix-filters inside a groupby(id) shuffle (same _prefix_filter
+        # kernel, identical tie-breaks), and pairs emit per gram. Three
+        # shuffles of the posting table, zero corpus-proportional driver
+        # or broadcast state; used only above the broadcast budget.
+        posting_i64 = posting_src.map_batches(
+            lambda df: (lambda out: out.assign(
+                g=out["g"].to_numpy(np.uint64).view(np.int64)
+            ))(explode(df)),
+            batch_format="pandas",
+        )
+        with_counts = posting_i64.groupby("g").map_groups(
+            lambda grp: grp.assign(n=np.int64(len(grp))), batch_format="pandas"
+        )
+
+        def doc_prefix(grp: pd.DataFrame) -> pd.DataFrame:
+            gp_d, idp_d = _prefix_filter(
+                grp["g"].to_numpy(np.int64).view(np.uint64),  # u64 tie-break order
+                grp["id"].to_numpy(),
+                grp["n"].to_numpy(np.int64),
+                threshold,
+            )
+            return pd.DataFrame({"g": gp_d.view(np.int64), "id": idp_d})
+
+        pairs_ds = (
+            with_counts.groupby("id")
+            .map_groups(doc_prefix, batch_format="pandas")
+            .groupby("g")
+            .map_groups(
+                lambda grp: _emit_bucket_id_pairs(grp, max_posting),
+                batch_format="pandas",
+            )
+        )
+        pairs = _collect_pair_set(pairs_ds)
     else:
         partials = posting_ds.map_batches(
             lambda df: df.groupby("g", sort=False).size().rename("n").reset_index(),
@@ -888,9 +932,8 @@ def ngram_jaccard_pairs(
         if folded.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
         # broadcast the GLOBAL gram-count table (sorted arrays) so each
-        # batch prefix-filters its own postings; at corpus scales where
-        # this table itself outgrows a broadcast, the rank computation
-        # moves into the posting build as a count-join — same principle
+        # batch prefix-filters its own postings; above NGRAM_BROADCAST_DOCS
+        # the count-join branch above replaces the broadcast entirely
         garr = folded["g"].to_numpy(np.uint64)
         o = np.argsort(garr)
         garr, carr = garr[o], folded["n"].to_numpy(np.int64)[o]

@@ -447,6 +447,17 @@ class TestNgramBigPathParity:
         assert dd.minhash_lsh_pairs(ds, threshold=0.5).equals(mh_small)
         assert dd.simhash_pairs(ds, max_hamming=3).equals(sh_small)
 
+    def test_ngram_countjoin_path_parity(self, corpus, monkeypatch):
+        """Forcing the count-join branch (no gram-count broadcast at
+        all: counts attach in groupby(g), prefix filter in groupby(id))
+        must reproduce the small path's verified pairs exactly."""
+        ds = rd.from_pandas(corpus)
+        small = dd.ngram_jaccard_pairs(ds, n=3, threshold=0.5, max_posting=60)
+        monkeypatch.setattr(dd, "SMALL_SKETCH_DOCS", 0)  # skip small path
+        monkeypatch.setattr(dd, "NGRAM_BROADCAST_DOCS", 0)  # force count-join
+        cj = dd.ngram_jaccard_pairs(ds, n=3, threshold=0.5, max_posting=60)
+        assert small.equals(cj)
+
     def test_distributed_count_fold_parity(self, corpus, monkeypatch):
         """Forcing the distributed bucket-count fold (the branch that at
         corpus scale keeps the O(docs x bands) count table off the
