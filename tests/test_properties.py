@@ -91,3 +91,57 @@ def test_minhash_estimate_within_bound(base, edit, seed):
     sb = dd.minhash_signature(b, 128, seed)
     est = float((sa == sb).mean())
     assert abs(est - true_j) <= 0.35  # loose Chernoff-style bound at P=128
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    w=st.integers(1, 64),
+    h=st.integers(1, 64),
+    n_pts=st.integers(0, 300),
+)
+def test_pixel_of_in_range_and_partition_property(seed, w, h, n_pts):
+    """Every point lands in exactly one pixel, pixel coords stay in
+    range even for out-of-bbox points (clip), and the pixel's own
+    bounds (vectorize arithmetic) contain every in-bbox point."""
+    from fairy_core_ray.stages.raster_stages import pixel_of
+
+    rng = np.random.default_rng(seed)
+    bbox = (-50.0, -20.0, 30.0, 44.0)
+    lon = rng.uniform(bbox[0] - 10, bbox[2] + 10, n_pts)
+    lat = rng.uniform(bbox[1] - 10, bbox[3] + 10, n_pts)
+    px, py = pixel_of(lon, lat, bbox, w, h)
+    assert ((px >= 0) & (px < w)).all() and ((py >= 0) & (py < h)).all()
+    cw = (bbox[2] - bbox[0]) / w
+    ch = (bbox[3] - bbox[1]) / h
+    inside = (lon >= bbox[0]) & (lon < bbox[2]) & (lat >= bbox[1]) & (lat < bbox[3])
+    lon0 = bbox[0] + px * cw
+    lat0 = bbox[1] + py * ch
+    # float-edge tolerance: floor((lon-x0)*scale) may land a boundary
+    # point in the neighbor pixel, but never further than one ulp-cell
+    assert (lon[inside] >= lon0[inside] - 1e-9).all()
+    assert (lon[inside] <= lon0[inside] + cw + 1e-9).all()
+    assert (lat[inside] >= lat0[inside] - 1e-9).all()
+    assert (lat[inside] <= lat0[inside] + ch + 1e-9).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), k=st.integers(0, 4), res=st.integers(1, 20))
+def test_cell_kring_property(seed, k, res):
+    """kring: every member is within Chebyshev distance k, the center is
+    included, ids are sorted-unique, and size is the clipped window."""
+    from fairy_core_ray.functions.geo import cell_kring
+
+    rng = np.random.default_rng(seed)
+    n = 1 << res
+    ix, iy = int(rng.integers(0, n)), int(rng.integers(0, n))
+    cell = (res << 58) | (ix << 29) | iy
+    ring = cell_kring(cell, k)
+    assert cell in ring
+    assert (np.diff(ring) > 0).all()  # sorted, unique
+    rx = (ring >> 29) & ((1 << 29) - 1)
+    ry = ring & ((1 << 29) - 1)
+    assert (np.maximum(np.abs(rx - ix), np.abs(ry - iy)) <= k).all()
+    exp_w = min(n - 1, ix + k) - max(0, ix - k) + 1
+    exp_h = min(n - 1, iy + k) - max(0, iy - k) + 1
+    assert len(ring) == exp_w * exp_h
