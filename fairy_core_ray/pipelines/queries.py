@@ -463,6 +463,78 @@ def q_events_hourly(sf_dir: str):
     return agg
 
 
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3-style three-way join + grouped aggregate + top-10:
+    customer(segment filter) ⋈ orders(date filter) ⋈ lineitem(date
+    filter), revenue per order, sort-before-truncate. Join strategy:
+    both dimension sides reduce to broadcast lookups (segment custkeys,
+    then filtered order metadata) — the Q3 selectivity makes them tiny
+    relative to lineitem, which streams once with per-batch partial
+    revenue sums folded by a distributed groupby. At scales where the
+    filtered orders outgrow a broadcast, the same plan runs with the
+    dup-key bucket pattern of flagship._dup_keys (range-partitioned
+    plasma refs), unchanged here because the cut is data-dependent."""
+    cutoff = np.datetime64("1998-06-01")
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_keys = set(cust[cust["c_mktsegment"] == "BUILDING"]["c_custkey"].tolist())
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]).to_pandas()
+    orders = orders[
+        (orders["o_orderdate"].to_numpy() < cutoff)
+        & orders["o_custkey"].isin(seg_keys)
+    ]
+    omet = {
+        int(k): (d, p)
+        for k, d, p in zip(
+            orders["o_orderkey"], orders["o_orderdate"], orders["o_orderpriority"]
+        )
+    }
+    oref = ray.put(omet)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        om = ray.get(oref)
+        df = pd.DataFrame(
+            {
+                "k": t["l_orderkey"].to_numpy(),
+                "ship": t["l_shipdate"].to_numpy(),
+                "rev": t["l_extendedprice"].to_numpy()
+                * (1.0 - t["l_discount"].to_numpy()),
+            }
+        )
+        df = df[(df["ship"].to_numpy() > cutoff) & df["k"].isin(om)]
+        g = df.groupby("k", sort=False)["rev"].sum().reset_index()
+        g.columns = ["l_orderkey", "p_rev"]
+        return g
+
+    agg = (
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(rd.aggregate.Sum("p_rev", alias_name="revenue"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame(
+            {"l_orderkey": pd.Series([], dtype=np.int64),
+             "revenue": pd.Series([], dtype=np.float64),
+             "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+             "o_orderpriority": pd.Series([], dtype=object)}
+        )
+    meta = agg["l_orderkey"].map(lambda k: omet[int(k)])
+    agg["o_orderdate"] = [d for d, _ in meta]
+    agg["o_orderpriority"] = [p for _, p in meta]
+    agg["revenue"] = _round_half_away(agg["revenue"].to_numpy(), 2)
+    out = agg.sort_values(
+        ["revenue", "o_orderdate", "l_orderkey"],
+        ascending=[False, True, True],
+        kind="mergesort",
+    ).head(10)
+    out["l_orderkey"] = out["l_orderkey"].astype(np.int64)
+    return out[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]].reset_index(
+        drop=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # geospatial
 # ---------------------------------------------------------------------------
@@ -1481,6 +1553,7 @@ QUERIES = {
     "group_incomplete": q_group_incomplete,
     "orders_by_year": q_orders_by_year,
     "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
     "top10_orders": q_top10_orders,
     "acctbal_by_nation": q_acctbal_by_nation,
     "events_hourly": q_events_hourly,
@@ -1650,6 +1723,18 @@ ORACLE = {
     "orders_by_year": (
         "SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS order_year, "
         "count(*) AS n_orders FROM orders GROUP BY 1 ORDER BY 1"
+    ),
+    "tpch_q3": (
+        "SELECT l_orderkey, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "o_orderdate, o_orderpriority "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-06-01' "
+        "AND l_shipdate > TIMESTAMP '1998-06-01' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
     ),
     "tpch_q1": (
         "SELECT l_returnflag, l_linestatus, "
