@@ -1,0 +1,629 @@
+"""Training-pipeline operator extensions: sampling, caps, range joins,
+windowed running aggregates, decontamination, PII redaction, spatial
+distance join, corpus dedup survivors.
+
+Each operator is the idiomatic distributed Ray Data form (column-pruned
+reads, per-batch partial reduction before any shuffle, broadcast small
+sides, key-partitioned map_groups only where semantics need co-located
+keys) with an exact DuckDB oracle. Float policy follows queries.py: raw
+per-row floats compare exactly (identical IEEE ops both sides),
+aggregated floats are rounded on both sides.
+
+These extend the reference's validation vocabulary (/root/reference/
+src/fairy/validation/rulepack_runner.py expresses per-column checks;
+these are the corpus-level curation ops a 100 TB training-data pipeline
+adds on top — sampling/cap/decontamination per Gopher/RefinedWeb-style
+curation, range/distance joins per the north-rule geospatial tier).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from fairy_core_ray.pipelines.queries import (
+    EVENT_LONLAT_SQL,
+    _round_half_away,
+    _t,
+    event_lonlat,
+)
+from fairy_core_ray.stages import dedup as dd
+
+# ---------------------------------------------------------------------------
+# grouped top-k
+# ---------------------------------------------------------------------------
+
+_TOPK_K = 3
+
+
+def q_grouped_topk(sf_dir: str):
+    """top-k per group (k=3 orders by totalprice per priority) — the
+    distributed grouped-top-k shape: each batch reduces to at most
+    k rows per group seen (a partial), then one small groupby folds
+    partials; no global sort, shuffle volume is O(groups * k)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_orderpriority", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("o_orderpriority", sort=False).head(_TOPK_K)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return partial(g)
+
+    out = (
+        _t(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    return (
+        out[["o_orderpriority", "o_orderkey", "o_totalprice"]]
+        .sort_values(
+            ["o_orderpriority", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        .reset_index(drop=True)
+    )
+
+
+GROUPED_TOPK_SQL = (
+    "SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders "
+    "QUALIFY row_number() OVER (PARTITION BY o_orderpriority "
+    f"ORDER BY o_totalprice DESC, o_orderkey) <= {_TOPK_K} "
+    "ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"
+)
+
+# ---------------------------------------------------------------------------
+# stratified sampling (deterministic hash gate — resumable + shardable)
+# ---------------------------------------------------------------------------
+
+_STRAT_PERMILLE = {"de": 250, "en": 100, "es": 400, "fr": 600, "zh": 850}
+
+
+def q_stratified_sample(sf_dir: str):
+    """stratified sampling: per-stratum (lang) keep rates applied via a
+    deterministic multiplicative hash of the row id — a pure per-batch
+    filter (no shuffle, no RNG state), so the sample is reproducible
+    across reruns, shards and cluster sizes; the per-lang rate table is
+    a broadcast-free closure constant."""
+    rates = _STRAT_PERMILLE
+
+    def keep(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        h = (did * 2654435761) % 1000003 % 1000
+        lang = t["lang"].to_pandas()
+        thr = lang.map(rates).fillna(0).to_numpy(np.int64)
+        return t.filter(pa.array(h < thr))
+
+    out = (
+        _t(sf_dir, "documents", ["doc_id", "lang"])
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_STRAT_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _STRAT_PERMILLE.items()
+)
+STRATIFIED_SAMPLE_SQL = (
+    "SELECT doc_id, lang FROM documents "
+    "WHERE ((doc_id * 2654435761) % 1000003) % 1000 < "
+    f"CASE lang {_STRAT_CASE} ELSE 0 END ORDER BY doc_id"
+)
+
+# ---------------------------------------------------------------------------
+# per-source cap (per-domain document cap, RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+_SOURCE_CAP = 10
+
+
+def q_source_cap(sf_dir: str):
+    """per-domain cap: keep the first N docs per source (by doc_id) —
+    grouped-top-k with k=N ascending; the partial/final split keeps the
+    shuffle at O(sources * N) rows regardless of corpus size."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "doc_id"], kind="mergesort")
+        return df.groupby("source", sort=False).head(_SOURCE_CAP)
+
+    out = (
+        _t(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return (
+        out[["doc_id", "source"]].sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+SOURCE_CAP_SQL = (
+    "SELECT doc_id, source FROM documents "
+    "QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) "
+    f"<= {_SOURCE_CAP} ORDER BY doc_id"
+)
+
+# ---------------------------------------------------------------------------
+# time-range self-join (key-partitioned interval join)
+# ---------------------------------------------------------------------------
+
+_RANGE_W_US = 3_600_000_000  # 1 hour
+
+
+def q_range_join_user_events(sf_dir: str):
+    """range join: pairs of events of the SAME user within a 1-hour
+    forward window — the key-partitioned interval-join shape (asof's
+    all-matches sibling). Per user group: one sort + two searchsorted
+    frontiers, pair emission fully vectorized (repeat + offset arange);
+    no per-row Python. Partitioning assumption: one user's events fit a
+    group (same contract as sessionize/asof)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["us"].to_numpy(), kind="stable")
+        us = g["us"].to_numpy()[order]
+        eid = g["event_id"].to_numpy().astype(np.int64)[order]
+        n = len(us)
+        starts = np.arange(1, n + 1, dtype=np.int64)
+        ends = np.searchsorted(us, us + _RANGE_W_US, side="right")
+        lens = np.maximum(ends - starts, 0)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {
+                    "event_a": pd.Series([], dtype=np.int64),
+                    "event_b": pd.Series([], dtype=np.int64),
+                    "gap_us": pd.Series([], dtype=np.int64),
+                }
+            )
+        a_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        b_idx = np.repeat(starts, lens) + within
+        return pd.DataFrame(
+            {
+                "event_a": eid[a_idx],
+                "event_b": eid[b_idx],
+                "gap_us": us[b_idx] - us[a_idx],
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "us": pc.cast(t["ts"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values(["event_a", "event_b"]).reset_index(drop=True)
+
+
+RANGE_JOIN_SQL = (
+    "SELECT a.event_id AS event_a, b.event_id AS event_b, "
+    "CAST(epoch_us(b.ts) AS BIGINT) - CAST(epoch_us(a.ts) AS BIGINT) AS gap_us "
+    "FROM events a JOIN events b ON a.user_id = b.user_id "
+    "AND b.ts > a.ts "
+    f"AND epoch_us(b.ts) <= epoch_us(a.ts) + {_RANGE_W_US} "
+    "ORDER BY event_a, event_b"
+)
+
+# ---------------------------------------------------------------------------
+# banded interval lookup (broadcast small side, overlapping bands)
+# ---------------------------------------------------------------------------
+
+_BANDS = [
+    ("b0", 900.0, 940.0),
+    ("b1", 930.0, 960.0),
+    ("b2", 950.0, 1000.0),
+    ("b3", 995.0, 1000.0),
+]
+
+
+def q_price_band_join(sf_dir: str):
+    """banded range lookup: parts against an OVERLAPPING price-band
+    table (multi-match). The band table is a closure constant (the
+    broadcast-small-side pattern); each batch emits one partial row per
+    band, folded by a tiny groupby — shuffle volume O(bands * blocks)."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        price = t["p_retailprice"].to_numpy()
+        rows = []
+        for bid, lo, hi in _BANDS:
+            m = (price >= lo) & (price < hi)
+            rows.append((bid, int(m.sum()), float(price[m].sum())))
+        return pd.DataFrame(rows, columns=["band_id", "n", "s"])
+
+    agg = (
+        _t(sf_dir, "part", ["p_retailprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("band_id")
+        .aggregate(
+            rd.aggregate.Sum("n", alias_name="n_parts"),
+            rd.aggregate.Sum("s", alias_name="s_retail"),
+        )
+        .to_pandas()
+    )
+    agg = agg[agg["n_parts"] > 0]
+    agg["n_parts"] = agg["n_parts"].astype(np.int64)
+    agg["sum_retail"] = _round_half_away(agg["s_retail"].to_numpy(np.float64), 2)
+    return (
+        agg[["band_id", "n_parts", "sum_retail"]]
+        .sort_values("band_id")
+        .reset_index(drop=True)
+    )
+
+
+_BANDS_SQL = ", ".join(f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in _BANDS)
+PRICE_BAND_SQL = (
+    f"WITH bands(band_id, lo, hi) AS (VALUES {_BANDS_SQL}) "
+    "SELECT band_id, count(*) AS n_parts, "
+    "round(sum(p_retailprice), 2) AS sum_retail "
+    "FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi "
+    "GROUP BY band_id ORDER BY band_id"
+)
+
+# ---------------------------------------------------------------------------
+# decontamination (benchmark n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4
+_DECON_BENCH_MAX_ID = 10
+
+
+def q_decontaminate(sf_dir: str):
+    """benchmark decontamination: flag corpus docs sharing any word
+    4-gram with a (small) benchmark set — docs 0..9 stand in for the
+    eval set. The benchmark gram table is hashed once on the driver and
+    broadcast via ray.put (eval sets are tiny vs the corpus); each batch
+    re-uses the vectorized gram kernel from the minhash miner
+    (dedup.word_ngram_arrays) and counts distinct-gram overlap with one
+    sorted-array membership test. No shuffle at all — the corpus
+    streams once."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    bench_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", _DECON_BENCH_MAX_ID)],
+    )
+    bench_lists = dd.word_ngram_arrays(bench_tbl["text"].to_pandas(), _DECON_N)
+    bench_grams = (
+        np.unique(np.concatenate(bench_lists))
+        if bench_lists
+        else np.empty(0, np.uint64)
+    )
+    bref = ray.put(bench_grams)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bench = ray.get(bref)
+        grams = dd.word_ngram_arrays(df["text"], _DECON_N)
+        lens = np.fromiter((len(g) for g in grams), np.int64, count=len(grams))
+        if lens.sum() == 0 or len(bench) == 0:
+            hits = np.zeros(len(grams), np.int64)
+        else:
+            flat = np.concatenate([g for g in grams if len(g)])
+            inb = np.isin(flat, bench).astype(np.int64)
+            hits = np.zeros(len(grams), np.int64)
+            offs = np.r_[0, np.cumsum(lens[lens > 0])[:-1]]
+            hits[lens > 0] = np.add.reduceat(inb, offs)
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype(np.int64), "n_hits": hits}
+        )
+        return out[(out["doc_id"] >= _DECON_BENCH_MAX_ID) & (out["n_hits"] > 0)]
+
+    out = (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(score, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DECONTAMINATE_SQL = (
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "grams AS (SELECT doc_id, array_to_string(w[i:i+" + str(_DECON_N - 1) + "], ' ') AS g "
+    "FROM toks, unnest(generate_series(1, len(w) - " + str(_DECON_N - 1) + ")) AS t(i)), "
+    f"bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {_DECON_BENCH_MAX_ID}) "
+    "SELECT d.doc_id, CAST(count(DISTINCT d.g) AS BIGINT) AS n_hits "
+    "FROM grams d JOIN bench b ON d.g = b.g "
+    f"WHERE d.doc_id >= {_DECON_BENCH_MAX_ID} GROUP BY d.doc_id ORDER BY d.doc_id"
+)
+
+# ---------------------------------------------------------------------------
+# PII redaction (regex scrub, RE2 both sides)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+_PHONE_RE = r"[0-9]{3}-[0-9]{2,8}"
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction: email/phone regex scrub + whitespace normalize
+    over a deterministic synthetic contact column (same CASE expression
+    in numpy and SQL — the url_check pattern). Pure vectorized pyarrow
+    RE2 kernels per batch; no shuffle. Both engines run RE2 with
+    leftmost-greedy semantics, so redacted strings compare exactly."""
+
+    def redact(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype(np.int64)
+        m = (did % 4).to_numpy()
+        sid = did.astype(str)
+        raw = pd.Series(np.empty(len(df), object), index=df.index)
+        raw[m == 0] = "Reach me at user" + sid[m == 0] + "@example.com  or  call 555-0" + sid[m == 0]
+        raw[m == 1] = "phone: 415-555-" + sid[m == 1] + " fax: 415-555-" + sid[m == 1] + "9"
+        raw[m == 2] = "contact user." + sid[m == 2] + "@mail.example.org now"
+        raw[m == 3] = "no contact info " + sid[m == 3]
+        s = pa.array(raw.to_numpy(), pa.string())
+        s = pc.replace_substring_regex(s, _EMAIL_RE, "<EMAIL>")
+        s = pc.replace_substring_regex(s, _PHONE_RE, "<PHONE>")
+        s = pc.utf8_trim_whitespace(pc.replace_substring_regex(s, r"\s+", " "))
+        return pd.DataFrame({"doc_id": did, "redacted": s.to_pandas()})
+
+    out = (
+        _t(sf_dir, "documents", ["doc_id"])
+        .map_batches(redact, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+PII_REDACT_SQL = (
+    "WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS sid, "
+    "CAST(doc_id % 4 AS INTEGER) AS m FROM documents), "
+    "raw AS (SELECT doc_id, CASE m "
+    "WHEN 0 THEN 'Reach me at user' || sid || '@example.com  or  call 555-0' || sid "
+    "WHEN 1 THEN 'phone: 415-555-' || sid || ' fax: 415-555-' || sid || '9' "
+    "WHEN 2 THEN 'contact user.' || sid || '@mail.example.org now' "
+    "ELSE 'no contact info ' || sid END AS s FROM d) "
+    "SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(s, "
+    f"'{_EMAIL_RE}', '<EMAIL>', 'g'), "
+    f"'{_PHONE_RE}', '<PHONE>', 'g'), "
+    "'\\s+', ' ', 'g')) AS redacted "
+    "FROM raw ORDER BY doc_id"
+)
+
+# ---------------------------------------------------------------------------
+# windowed running aggregate (per-key cumulative)
+# ---------------------------------------------------------------------------
+
+
+def q_user_running_value(sf_dir: str):
+    """per-key running aggregate: row number + cumulative value per user
+    ordered by time — the window-function shape (lag/cumsum family).
+    Values are scaled to exact e4 integers BEFORE accumulating so the
+    running sum is order-exact on both engines (float window sums are
+    not associativity-stable). Per group: one sort + one cumsum."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["us"].to_numpy(), kind="stable")
+        v_e4 = _round_half_away(
+            g["value"].to_numpy(np.float64)[order] * 10000.0, 0
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy().astype(np.int64)[order],
+                "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+                "cum_e4": np.cumsum(v_e4),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"]).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "us": pc.cast(t["ts"], pa.int64()),
+                "value": t["value"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+USER_RUNNING_SQL = (
+    "SELECT event_id, "
+    "CAST(row_number() OVER w AS BIGINT) AS rn, "
+    "CAST(sum(CAST(round(value * 10000) AS BIGINT)) OVER w AS BIGINT) AS cum_e4 "
+    "FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "ORDER BY event_id"
+)
+
+# ---------------------------------------------------------------------------
+# spatial distance self-join (grid-bucketed, owner/candidate dedup)
+# ---------------------------------------------------------------------------
+
+_DIST_R = 0.005
+
+
+def q_geo_distance_join(sf_dir: str):
+    """spatial distance self-join: all event pairs within radius r —
+    the grid-bucketed pattern (cell size = r, each point owns its home
+    cell and is replicated as a CANDIDATE to the 8 neighbors; a pair is
+    emitted only by the group where the OWNER has the smaller id, so
+    every pair appears exactly once with no post-dedup shuffle). The 9x
+    candidate replication carries only (id, lon, lat); at scale you'd
+    prune replicas to cells with owners via a pre-counted filter."""
+    r = _DIST_R
+
+    def keyed(t: pa.Table) -> pd.DataFrame:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        lon, lat = event_lonlat(eid)
+        ix = np.floor(lon / r).astype(np.int64)
+        iy = np.floor(lat / r).astype(np.int64)
+        frames = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "cell": (ix + dx + 100000) * 1000000 + (iy + dy + 100000),
+                            "event_id": eid,
+                            "lon": lon,
+                            "lat": lat,
+                            "owner": np.full(len(eid), dx == 0 and dy == 0),
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True)
+
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+            "dist2": pd.Series([], dtype=np.float64),
+        }
+    )
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        own = g[g["owner"].to_numpy()]
+        if own.empty or len(g) < 2:
+            return empty
+        a_id = own["event_id"].to_numpy()
+        b_id = g["event_id"].to_numpy()
+        dlon = own["lon"].to_numpy()[:, None] - g["lon"].to_numpy()[None, :]
+        dlat = own["lat"].to_numpy()[:, None] - g["lat"].to_numpy()[None, :]
+        d2 = dlon * dlon + dlat * dlat
+        mask = (a_id[:, None] < b_id[None, :]) & (d2 <= r * r)
+        ai, bi = np.nonzero(mask)
+        if len(ai) == 0:
+            return empty
+        return pd.DataFrame(
+            {"id_a": a_id[ai], "id_b": b_id[bi], "dist2": d2[ai, bi]}
+        )
+
+    out = (
+        _t(sf_dir, "events", ["event_id"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(per_cell, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return empty
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+GEO_DISTANCE_JOIN_SQL = (
+    f"WITH pts AS ({EVENT_LONLAT_SQL}) "
+    "SELECT a.event_id AS id_a, b.event_id AS id_b, "
+    "(a.lon-b.lon)*(a.lon-b.lon)+(a.lat-b.lat)*(a.lat-b.lat) AS dist2 "
+    "FROM pts a JOIN pts b ON a.event_id < b.event_id "
+    f"AND abs(a.lon-b.lon) <= {_DIST_R} AND abs(a.lat-b.lat) <= {_DIST_R} "
+    f"WHERE (a.lon-b.lon)*(a.lon-b.lon)+(a.lat-b.lat)*(a.lat-b.lat) "
+    f"<= ({_DIST_R}*{_DIST_R}) ORDER BY id_a, id_b"
+)
+
+# ---------------------------------------------------------------------------
+# corpus dedup survivors (end-to-end near-dup removal)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_survivors(sf_dir: str):
+    """end-to-end near-dup REMOVAL: exact embedding near-dup pairs →
+    connected components → drop every non-representative member; the
+    survivors are the deduplicated corpus ids. The drop set (dup rows
+    only, not the corpus) broadcasts via ray.put and the corpus streams
+    once through a per-batch filter."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = dd.embedding_neardup_pairs(emb, threshold=0.4)
+    cl = dd.cluster_pairs(pairs)
+    drop = (
+        np.sort(cl[cl["id"] != cl["rep"]]["id"].to_numpy(np.int64))
+        if len(cl)
+        else np.empty(0, np.int64)
+    )
+    dref = ray.put(drop)
+
+    def keep(t: pa.Table) -> pa.Table:
+        dr = ray.get(dref)
+        vid = t["vec_id"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(dr, vid).clip(0, max(len(dr) - 1, 0))
+        is_dup = (dr[pos] == vid) if len(dr) else np.zeros(len(vid), bool)
+        return pa.table({"vec_id": pa.array(vid[~is_dup], pa.int64())})
+
+    out = (
+        _t(sf_dir, "embeddings", ["vec_id"])
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+DEDUP_SURVIVORS_SQL = (
+    "WITH RECURSIVE pairs AS ("
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+    "FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id "
+    "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])) >= 0.4), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach(id, r) AS (SELECT a, b FROM edges "
+    "UNION SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a), "
+    "lab AS (SELECT id, least(id, min(r)) AS rep FROM reach GROUP BY id) "
+    "SELECT vec_id FROM embeddings "
+    "WHERE vec_id NOT IN (SELECT id FROM lab WHERE id <> rep) "
+    "ORDER BY vec_id"
+)
+
+# ---------------------------------------------------------------------------
+# registries (merged into queries.QUERIES / queries.ORACLE)
+# ---------------------------------------------------------------------------
+
+EXT_QUERIES = {
+    "grouped_topk": q_grouped_topk,
+    "stratified_sample": q_stratified_sample,
+    "source_cap": q_source_cap,
+    "range_join_user_events": q_range_join_user_events,
+    "price_band_join": q_price_band_join,
+    "decontaminate": q_decontaminate,
+    "pii_redact": q_pii_redact,
+    "user_running_value": q_user_running_value,
+    "geo_distance_join": q_geo_distance_join,
+    "dedup_survivors": q_dedup_survivors,
+}
+
+EXT_ORACLE = {
+    "grouped_topk": GROUPED_TOPK_SQL,
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "source_cap": SOURCE_CAP_SQL,
+    "range_join_user_events": RANGE_JOIN_SQL,
+    "price_band_join": PRICE_BAND_SQL,
+    "decontaminate": DECONTAMINATE_SQL,
+    "pii_redact": PII_REDACT_SQL,
+    "user_running_value": USER_RUNNING_SQL,
+    "geo_distance_join": GEO_DISTANCE_JOIN_SQL,
+    "dedup_survivors": DEDUP_SURVIVORS_SQL,
+}
+
+# Merge into the primary registry: importing queries_ext makes the
+# extension operators visible through queries.QUERIES / queries.ORACLE
+# (done here, not in queries.py, to keep the import acyclic).
+from fairy_core_ray.pipelines import queries as _q  # noqa: E402
+
+_q.QUERIES.update(EXT_QUERIES)
+_q.ORACLE.update(EXT_ORACLE)

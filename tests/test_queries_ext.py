@@ -1,0 +1,107 @@
+"""Extension-operator correctness: every queries_ext entry vs its
+DuckDB oracle at sf0.001 (the driver's comparison, run in-tests), plus
+shape invariants for the pair-emitting joins."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from fairy_core_ray.pipelines.queries_ext import EXT_ORACLE, EXT_QUERIES
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(EXT_QUERIES))
+def test_ext_query_matches_oracle(ray_session, name):
+    res = EXT_QUERIES[name](SF)
+    if hasattr(res, "to_pandas"):
+        res = res.to_pandas()
+    r = _canon(pd.DataFrame(res))
+    o = _canon(_oracle(EXT_ORACLE[name]))
+    assert list(r.columns) == list(o.columns), (list(r.columns), list(o.columns))
+    assert len(r) == len(o), (name, len(r), len(o))
+    for c in r.columns:
+        if r[c].dtype == object:
+            assert (r[c].astype(str).to_numpy() == o[c].astype(str).to_numpy()).all(), c
+        else:
+            assert (r[c].to_numpy() == o[c].to_numpy()).all(), c
+
+
+def test_range_join_pairs_strictly_forward(ray_session):
+    out = EXT_QUERIES["range_join_user_events"](SF)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    assert (out["gap_us"] > 0).all()
+    assert (out["gap_us"] <= 3_600_000_000).all()
+    assert not out.duplicated(["event_a", "event_b"]).any()
+
+
+def test_geo_distance_join_pairs_unique_and_bounded(ray_session):
+    out = EXT_QUERIES["geo_distance_join"](SF)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    if len(out):
+        assert (out["id_a"] < out["id_b"]).all()
+        assert (out["dist2"] <= 0.005 * 0.005).all()
+        assert not out.duplicated(["id_a", "id_b"]).any()
+
+
+def test_dedup_survivors_complement(ray_session):
+    """survivors + dropped == corpus; every dropped id is a cluster
+    member with a smaller representative."""
+    import pyarrow.parquet as pq
+
+    surv = EXT_QUERIES["dedup_survivors"](SF)
+    if hasattr(surv, "to_pandas"):
+        surv = surv.to_pandas()
+    all_ids = set(
+        pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id"])["vec_id"]
+        .to_numpy()
+        .tolist()
+    )
+    kept = set(surv["vec_id"].tolist())
+    assert kept <= all_ids
+    dropped = all_ids - kept
+    # dropped ids must each appear in the oracle cluster map as non-rep
+    lab = _oracle(
+        EXT_ORACLE["dedup_survivors"]
+        .replace(
+            "SELECT vec_id FROM embeddings "
+            "WHERE vec_id NOT IN (SELECT id FROM lab WHERE id <> rep) "
+            "ORDER BY vec_id",
+            "SELECT id, rep FROM lab WHERE id <> rep",
+        )
+    )
+    assert dropped == set(lab["id"].tolist())
+    assert (lab["rep"] < lab["id"]).all() or len(lab) == 0
+
+
+def test_stratified_sample_rates_respected(ray_session):
+    out = EXT_QUERIES["stratified_sample"](SF)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    h = (out["doc_id"].to_numpy(np.int64) * 2654435761) % 1000003 % 1000
+    from fairy_core_ray.pipelines.queries_ext import _STRAT_PERMILLE
+
+    thr = out["lang"].map(_STRAT_PERMILLE).to_numpy(np.int64)
+    assert (h < thr).all()
