@@ -177,6 +177,7 @@ def run_queries(sf_dir: str, full: bool = False) -> dict:
     driver trends round-to-round; ``full`` times EVERY registered query
     (``--full`` / GRAFT_BENCH_FULL=1) so regressions in unbenched
     queries (asof_last_order, sessionize, ...) stay visible."""
+    from fairy_core_ray.pipelines import queries_ext  # noqa: F401  (merges EXT_* into the registry)
     from fairy_core_ray.pipelines.queries import QUERIES
 
     if full:

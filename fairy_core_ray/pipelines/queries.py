@@ -157,7 +157,7 @@ def q_required_nullish(sf_dir: str):
         )
         return pa.table({"partial": pa.array([pc.sum(pc.cast(bad, pa.int64())).as_py() or 0], pa.int64())})
 
-    n = sum(b["partial"][0].as_py() for b in ds.map_batches(count, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    n = sum(int(np.sum(b["partial"].to_numpy())) for b in ds.map_batches(count, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
     return _scalar_count(int(n))
 
 
@@ -172,7 +172,7 @@ def q_non_empty_trimmed(sf_dir: str):
         )
         return pa.table({"partial": pa.array([pc.sum(pc.cast(bad, pa.int64())).as_py() or 0], pa.int64())})
 
-    n = sum(b["partial"][0].as_py() for b in ds.map_batches(count, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    n = sum(int(np.sum(b["partial"].to_numpy())) for b in ds.map_batches(count, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
     return _scalar_count(int(n))
 
 
@@ -281,7 +281,7 @@ def q_at_least_one_nonempty(sf_dir: str):
         bad = pc.and_(p_bad, v_bad)
         return pa.table({"partial": pa.array([pc.sum(pc.cast(bad, pa.int64())).as_py() or 0], pa.int64())})
 
-    n = sum(b["partial"][0].as_py() for b in ds.map_batches(count, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    n = sum(int(np.sum(b["partial"].to_numpy())) for b in ds.map_batches(count, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
     return _scalar_count(int(n))
 
 

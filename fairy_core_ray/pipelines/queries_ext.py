@@ -591,6 +591,220 @@ DEDUP_SURVIVORS_SQL = (
 )
 
 # ---------------------------------------------------------------------------
+# grouped exact quantiles (per-stratum distributed histogram fold)
+# ---------------------------------------------------------------------------
+
+
+def q_token_quantiles_by_lang(sf_dir: str):
+    """exact per-group token-count quantiles (p50/p90/p99 per lang) —
+    the grouped-quantile shape: per-batch (lang, value)->count histogram
+    partials merge exactly (token counts are small ints), one tiny
+    groupby folds them, and quantile_cont interpolation runs per group
+    on the driver over O(langs * distinct-values) rows. No per-group
+    sort, no corpus-wide shuffle of raw rows."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("").astype(str)
+        counts = np.fromiter(
+            (len([w for w in t.split(" ") if w]) for t in s),
+            np.int64,
+            count=len(s),
+        )
+        g = (
+            pd.DataFrame({"lang": df["lang"].to_numpy(), "v": counts})
+            .groupby(["lang", "v"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = _t(sf_dir, "documents", ["text", "lang"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    allp = pd.concat(
+        list(parts.iter_batches(batch_size=None, batch_format="pandas")),
+        ignore_index=True,
+    )
+    rows = []
+    for lang, grp in allp.groupby("lang", sort=True):
+        hist = grp.groupby("v", sort=True)["n"].sum()
+        vals = hist.index.to_numpy(np.int64)
+        cnts = hist.to_numpy(np.int64)
+        total = int(cnts.sum())
+        cum = np.cumsum(cnts)
+
+        def quantile_cont(q: float) -> float:
+            # identical interpolation to DuckDB quantile_cont (parity
+            # with queries.q_token_quantiles)
+            pos = (total - 1) * q
+            lo_i, frac = int(np.floor(pos)), pos - np.floor(pos)
+            lo = vals[np.searchsorted(cum, lo_i + 1)]
+            hi = vals[np.searchsorted(cum, min(lo_i + 1, total - 1) + 1)]
+            return float(lo) + frac * (float(hi) - float(lo))
+
+        rows.append(
+            (
+                lang,
+                round(quantile_cont(0.5), 6),
+                round(quantile_cont(0.9), 6),
+                round(quantile_cont(0.99), 6),
+            )
+        )
+    return pd.DataFrame(rows, columns=["lang", "p50", "p90", "p99"])
+
+
+TOKEN_QUANTILES_BY_LANG_SQL = (
+    "SELECT lang, round(quantile_cont(c, 0.5), 6) AS p50, "
+    "round(quantile_cont(c, 0.9), 6) AS p90, "
+    "round(quantile_cont(c, 0.99), 6) AS p99 FROM ("
+    "SELECT lang, len(list_filter(string_split(text, ' '), x -> x <> '')) AS c "
+    "FROM documents) GROUP BY lang ORDER BY lang"
+)
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 (predicate-pushdown filter + global aggregate)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 forecasting-revenue: tight scan-filter-aggregate —
+    column-pruned read of 4 columns, per-batch Arrow-kernel predicate +
+    partial sum, driver adds the partials (one double per block)."""
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        qty = t["l_quantity"].to_numpy()
+        m = (
+            (ship >= lo)
+            & (ship < hi)
+            & (disc >= 0.05)
+            & (disc <= 0.07)
+            & (qty < 24.0)
+        )
+        rev = float((t["l_extendedprice"].to_numpy()[m] * disc[m]).sum())
+        return pa.table({"p": pa.array([rev], pa.float64())})
+
+    parts = (
+        _t(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    total = sum(float(np.sum(b["p"].to_numpy())) for b in parts)
+    return pd.DataFrame({"revenue": _round_half_away(np.array([total]), 2)})
+
+
+TPCH_Q6_SQL = (
+    "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+)
+
+# ---------------------------------------------------------------------------
+# per-doc top distinctive term (tf-then-rarity, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf_top_term(sf_dir: str):
+    """per-document top distinctive term, ranked (tf DESC, df ASC, term
+    ASC) — the tf-idf two-pass shape with an integer-exact ORDER (a
+    float tf*ln(N/df) score would hinge libm last-ulp agreement between
+    engines; tf-then-rarity preserves the idf intent for fixed tf).
+    Pass 1: per-batch (term -> docs-containing) partials fold to the
+    document-frequency table (vocabulary-sized, broadcast via ray.put).
+    Pass 2: per-batch per-doc term counts (factorize + one bincount on
+    doc_idx*V+code), winner picked by one lexsort — no per-row Python."""
+    import itertools
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("").astype(str)
+        uniq_per_doc = [set(w for w in t.split(" ") if w) for t in s]
+        flat = np.fromiter(
+            itertools.chain.from_iterable(uniq_per_doc),
+            dtype=object,
+            count=sum(len(u) for u in uniq_per_doc),
+        )
+        if not len(flat):
+            return pd.DataFrame(
+                {"w": pd.Series([], dtype=object), "n": pd.Series([], dtype=np.int64)}
+            )
+        codes, uniq = pd.factorize(flat, sort=False)
+        return pd.DataFrame({"w": uniq, "n": np.bincount(codes).astype(np.int64)})
+
+    dfp = pd.concat(
+        list(
+            docs.map_batches(df_partial, batch_format="pandas").iter_batches(
+                batch_size=None, batch_format="pandas"
+            )
+        ),
+        ignore_index=True,
+    )
+    dftab = dfp.groupby("w", sort=False)["n"].sum()
+    df_map = {w: int(n) for w, n in dftab.items()}
+    dref = ray.put(df_map)
+
+    def top_term(df: pd.DataFrame) -> pd.DataFrame:
+        dfm = ray.get(dref)
+        s = df["text"].fillna("").astype(str)
+        tok_lists = [[w for w in t.split(" ") if w] for t in s]
+        lens = np.fromiter((len(t) for t in tok_lists), np.int64, count=len(tok_lists))
+        total = int(lens.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "term": pd.Series([], dtype=object),
+                    "tf": pd.Series([], dtype=np.int64),
+                    "df": pd.Series([], dtype=np.int64),
+                }
+            )
+        flat = np.fromiter(
+            itertools.chain.from_iterable(tok_lists), dtype=object, count=total
+        )
+        codes, uniq = pd.factorize(flat, sort=False)
+        v = len(uniq)
+        doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
+        combo = np.bincount(doc_idx * v + codes, minlength=len(tok_lists) * v)
+        d_i, w_i = np.nonzero(combo.reshape(len(tok_lists), v))
+        tf = combo.reshape(len(tok_lists), v)[d_i, w_i].astype(np.int64)
+        terms = uniq[w_i]
+        dfs = np.fromiter((dfm[w] for w in terms), np.int64, count=len(terms))
+        # winner per doc: tf DESC, df ASC, term ASC
+        order = np.lexsort((terms, dfs, -tf))
+        first = np.unique(d_i[order], return_index=True)[1]
+        pick = order[first]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[d_i[pick]],
+                "term": terms[pick],
+                "tf": tf[pick],
+                "df": dfs[pick],
+            }
+        )
+
+    out = docs.map_batches(top_term, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+TFIDF_TOP_TERM_SQL = (
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+    "FROM documents), "
+    "tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM toks "
+    "WHERE w <> '' GROUP BY doc_id, w), "
+    "dft AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+    "FROM toks WHERE w <> '' GROUP BY w) "
+    "SELECT doc_id, w AS term, tf, df FROM tf JOIN dft USING (w) "
+    "QUALIFY row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY tf DESC, df, w) = 1 ORDER BY doc_id"
+)
+
+# ---------------------------------------------------------------------------
 # registries (merged into queries.QUERIES / queries.ORACLE)
 # ---------------------------------------------------------------------------
 
@@ -605,6 +819,9 @@ EXT_QUERIES = {
     "user_running_value": q_user_running_value,
     "geo_distance_join": q_geo_distance_join,
     "dedup_survivors": q_dedup_survivors,
+    "token_quantiles_by_lang": q_token_quantiles_by_lang,
+    "tpch_q6": q_tpch_q6,
+    "tfidf_top_term": q_tfidf_top_term,
 }
 
 EXT_ORACLE = {
@@ -618,6 +835,9 @@ EXT_ORACLE = {
     "user_running_value": USER_RUNNING_SQL,
     "geo_distance_join": GEO_DISTANCE_JOIN_SQL,
     "dedup_survivors": DEDUP_SURVIVORS_SQL,
+    "token_quantiles_by_lang": TOKEN_QUANTILES_BY_LANG_SQL,
+    "tpch_q6": TPCH_Q6_SQL,
+    "tfidf_top_term": TFIDF_TOP_TERM_SQL,
 }
 
 # Merge into the primary registry: importing queries_ext makes the
