@@ -463,6 +463,9 @@ def q_events_hourly(sf_dir: str):
     return agg
 
 
+Q3_DRIVER_KEY_BUDGET = 2_000_000
+
+
 def q_tpch_q3(sf_dir: str):
     """TPC-H Q3-style three-way join + grouped aggregate + top-10:
     customer(segment filter) ⋈ orders(date filter) ⋈ lineitem(date
@@ -489,30 +492,53 @@ def q_tpch_q3(sf_dir: str):
             orders["o_orderkey"], orders["o_orderdate"], orders["o_orderpriority"]
         )
     }
-    oref = ray.put(omet)
+    # broadcast only the sorted KEY array (zero-copy numpy out of plasma;
+    # a python dict would re-unpickle per batch) — order metadata joins
+    # back on the driver over the tiny aggregate result
+    keys = np.sort(orders["o_orderkey"].to_numpy(np.int64))
+    kref = ray.put(keys)
 
     def partial(t: pa.Table) -> pd.DataFrame:
-        om = ray.get(oref)
-        df = pd.DataFrame(
-            {
-                "k": t["l_orderkey"].to_numpy(),
-                "ship": t["l_shipdate"].to_numpy(),
-                "rev": t["l_extendedprice"].to_numpy()
-                * (1.0 - t["l_discount"].to_numpy()),
-            }
+        ks = ray.get(kref)
+        k = t["l_orderkey"].to_numpy()
+        m = t["l_shipdate"].to_numpy() > cutoff
+        if len(ks):
+            pos = np.searchsorted(ks, k).clip(0, len(ks) - 1)
+            m &= ks[pos] == k
+        else:
+            m &= False
+        k = k[m]
+        rev = t["l_extendedprice"].to_numpy()[m] * (
+            1.0 - t["l_discount"].to_numpy()[m]
         )
-        df = df[(df["ship"].to_numpy() > cutoff) & df["k"].isin(om)]
-        g = df.groupby("k", sort=False)["rev"].sum().reset_index()
-        g.columns = ["l_orderkey", "p_rev"]
-        return g
+        uk, inv = np.unique(k, return_inverse=True)
+        return pd.DataFrame(
+            {"l_orderkey": uk, "p_rev": np.bincount(inv, weights=rev)}
+        )
 
-    agg = (
-        _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(rd.aggregate.Sum("p_rev", alias_name="revenue"))
-        .to_pandas()
-    )
+    parts = _t(
+        sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(partial, batch_format="pyarrow", batch_size=None)
+    if len(keys) <= Q3_DRIVER_KEY_BUDGET:
+        # partial rows are bounded by blocks x |filtered orders|; below
+        # the budget a driver fold beats the Sort-aggregate's fixed cost
+        frames = list(parts.iter_batches(batch_size=None, batch_format="pandas"))
+        allp = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame({"l_orderkey": [], "p_rev": []})
+        )
+        agg = (
+            allp.groupby("l_orderkey", sort=False)["p_rev"]
+            .sum()
+            .reset_index(name="revenue")
+        )
+    else:
+        agg = (
+            parts.groupby("l_orderkey")
+            .aggregate(rd.aggregate.Sum("p_rev", alias_name="revenue"))
+            .to_pandas()
+        )
     if agg.empty:
         return pd.DataFrame(
             {"l_orderkey": pd.Series([], dtype=np.int64),
