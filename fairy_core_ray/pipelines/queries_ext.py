@@ -543,12 +543,59 @@ GEO_DISTANCE_JOIN_SQL = (
 # ---------------------------------------------------------------------------
 
 
+# Max drop-set ids shipped as ONE broadcast object; above it the sorted
+# id array range-partitions into plasma bucket refs (the
+# flagship._publish_dup_keys pattern) so per-worker heap stays bounded
+# under adversarial dup rates (a 30%-dup web crawl has O(corpus) drops).
+SURVIVOR_KEY_BUDGET = 20_000_000
+
+
+def _publish_sorted_ids(ids: np.ndarray):
+    """sorted int64 id array -> ("flat", ref) or ("bucketed", bounds, refs)."""
+    if len(ids) <= SURVIVOR_KEY_BUDGET:
+        return ("flat", ray.put(ids))
+    n_buckets = -(-len(ids) // SURVIVOR_KEY_BUDGET)
+    bounds, refs = [], []
+    for i in range(n_buckets):
+        s = i * len(ids) // n_buckets
+        e = (i + 1) * len(ids) // n_buckets
+        bounds.append(ids[s])
+        refs.append(ray.put(ids[s:e]))
+    return ("bucketed", np.asarray(bounds, dtype=np.int64), refs)
+
+
+def _member_mask(published, vid: np.ndarray, cache: dict) -> np.ndarray:
+    """membership of vid in the published sorted-id structure; bucketed
+    lookups fetch (and cache, zero-copy) only the buckets a batch touches."""
+    if published[0] == "flat":
+        dr = ray.get(published[1])
+        if not len(dr):
+            return np.zeros(len(vid), bool)
+        pos = np.minimum(np.searchsorted(dr, vid), len(dr) - 1)
+        return dr[pos] == vid
+    _, bounds, refs = published
+    out = np.zeros(len(vid), bool)
+    bidx = np.clip(np.searchsorted(bounds, vid, side="right") - 1, 0, None)
+    for b in np.unique(bidx):
+        sel = bidx == b
+        arr = cache.get(int(b))
+        if arr is None:
+            arr = cache[int(b)] = ray.get(refs[int(b)])
+        if not len(arr):
+            continue
+        sub = vid[sel]
+        pos = np.minimum(np.searchsorted(arr, sub), len(arr) - 1)
+        out[sel] = arr[pos] == sub
+    return out
+
+
 def q_dedup_survivors(sf_dir: str):
     """end-to-end near-dup REMOVAL: exact embedding near-dup pairs →
     connected components → drop every non-representative member; the
     survivors are the deduplicated corpus ids. The drop set (dup rows
-    only, not the corpus) broadcasts via ray.put and the corpus streams
-    once through a per-batch filter."""
+    only, not the corpus) broadcasts once below SURVIVOR_KEY_BUDGET and
+    range-partitions into plasma bucket refs above it; the corpus
+    streams once through a per-batch membership filter."""
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     pairs = dd.embedding_neardup_pairs(emb, threshold=0.4)
     cl = dd.cluster_pairs(pairs)
@@ -557,13 +604,11 @@ def q_dedup_survivors(sf_dir: str):
         if len(cl)
         else np.empty(0, np.int64)
     )
-    dref = ray.put(drop)
+    published = _publish_sorted_ids(drop)
 
     def keep(t: pa.Table) -> pa.Table:
-        dr = ray.get(dref)
         vid = t["vec_id"].to_numpy().astype(np.int64)
-        pos = np.searchsorted(dr, vid).clip(0, max(len(dr) - 1, 0))
-        is_dup = (dr[pos] == vid) if len(dr) else np.zeros(len(vid), bool)
+        is_dup = _member_mask(published, vid, {})
         return pa.table({"vec_id": pa.array(vid[~is_dup], pa.int64())})
 
     out = (

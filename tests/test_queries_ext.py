@@ -105,3 +105,29 @@ def test_stratified_sample_rates_respected(ray_session):
 
     thr = out["lang"].map(_STRAT_PERMILLE).to_numpy(np.int64)
     assert (h < thr).all()
+
+
+def test_dedup_survivors_bucketed_path_equals_flat(ray_session, monkeypatch):
+    """forcing SURVIVOR_KEY_BUDGET below the drop-set size must route
+    through the range-partitioned bucket refs and give identical
+    survivors."""
+    import fairy_core_ray.pipelines.queries_ext as qx
+
+    flat = qx.q_dedup_survivors(SF)
+    monkeypatch.setattr(qx, "SURVIVOR_KEY_BUDGET", 2)
+    bucketed = qx.q_dedup_survivors(SF)
+    assert flat["vec_id"].tolist() == bucketed["vec_id"].tolist()
+
+
+def test_member_mask_bucket_boundaries(ray_session, monkeypatch):
+    """ids below the first bucket bound and between buckets must not
+    false-positive; exact members in every bucket must hit."""
+    import fairy_core_ray.pipelines.queries_ext as qx
+
+    monkeypatch.setattr(qx, "SURVIVOR_KEY_BUDGET", 3)
+    ids = np.array([10, 20, 30, 40, 50, 60, 70], dtype=np.int64)
+    pub = qx._publish_sorted_ids(ids)
+    assert pub[0] == "bucketed"
+    probe = np.array([5, 10, 15, 40, 45, 70, 75], dtype=np.int64)
+    got = qx._member_mask(pub, probe, {})
+    assert got.tolist() == [False, True, False, True, False, True, False]
