@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline (SURVEY.md §2 +
     north-rule geospatial/dedup/kNN/text operators)."""
     from fairy_core_ray.pipelines import queries_ext  # noqa: F401  (merges EXT_* into the registry)
+    from fairy_core_ray.pipelines import queries_ext2  # noqa: F401  (merges EXT2_* into the registry)
     from fairy_core_ray.pipelines.queries import QUERIES
 
     return dict(QUERIES)
@@ -52,6 +53,7 @@ def oracle_sql() -> dict[str, str]:
     operators (LSH/minhash/simhash/langid/flagship image pipeline) are
     deliberately omitted."""
     from fairy_core_ray.pipelines import queries_ext  # noqa: F401  (merges EXT_* into the registry)
+    from fairy_core_ray.pipelines import queries_ext2  # noqa: F401  (merges EXT2_* into the registry)
     from fairy_core_ray.pipelines.queries import ORACLE
 
     return dict(ORACLE)

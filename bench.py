@@ -178,6 +178,7 @@ def run_queries(sf_dir: str, full: bool = False) -> dict:
     (``--full`` / GRAFT_BENCH_FULL=1) so regressions in unbenched
     queries (asof_last_order, sessionize, ...) stay visible."""
     from fairy_core_ray.pipelines import queries_ext  # noqa: F401  (merges EXT_* into the registry)
+    from fairy_core_ray.pipelines import queries_ext2  # noqa: F401  (merges EXT2_* into the registry)
     from fairy_core_ray.pipelines.queries import QUERIES
 
     if full:
@@ -199,6 +200,9 @@ def run_queries(sf_dir: str, full: bool = False) -> dict:
             "group_incomplete",
             "url_check",
             "word_topk",
+            "phash_dup_clusters",
+            "knn_self_join",
+            "bloom_semijoin",
         ]
     out = {}
     for name in names:

@@ -1,0 +1,527 @@
+"""Training-pipeline operator extensions, batch 2: image phash near-dup
+clustering, bloom-filter semi-join, nearest-site (k=1 spatial NN) join,
+exact kNN self-join over embeddings, per-user daily gap-fill resample.
+
+Same contract as queries_ext.py: every operator is the idiomatic
+distributed Ray Data form (column-pruned reads, per-batch vectorized
+kernels, broadcast small sides, shuffles only where semantics co-locate
+keys) and carries an exact DuckDB oracle. Float policy follows
+queries.py: per-row derived floats use identical IEEE ops both sides;
+ranked floats sort UNROUNDED on both sides and round only for output.
+
+These extend the reference's validation vocabulary (its dup checks are
+exact-key only — /root/reference/src/fairy/validation/
+rulepack_runner.py:359-421) with the perceptual/image dedup, semi-join
+and resample primitives a 100 TB multimodal curation pipeline needs
+(north-rule tier: geospatial x image).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from fairy_core_ray.pipelines.queries import (
+    EVENT_LONLAT_SQL,
+    KNN_QUERIES,
+    KNN_Q_SQL_VALUES,
+    _round_half_away,
+    _t,
+    event_lonlat,
+)
+from fairy_core_ray.stages import dedup as dd
+from fairy_core_ray.stages import knn as knn_mod
+
+# ---------------------------------------------------------------------------
+# image phash near-dup clustering
+# ---------------------------------------------------------------------------
+
+# synthetic phash with PLANTED duplicate groups: documents sharing
+# doc_id % PHASH_BASE_MOD get the same base hash, and ~2/7 of docs flip
+# one bit — so same-group pairs sit at Hamming <= 2 while cross-group
+# pairs are quasi-random 61-bit values (expected hamming ~30). Mirrored
+# 1:1 in SQL below.
+PHASH_BASE_MOD = 23
+
+
+def dup_phash(doc_id: np.ndarray) -> np.ndarray:
+    eid = doc_id.astype(np.int64)
+    m1 = ((eid % PHASH_BASE_MOD) * 2654435761) % 1000003
+    ph = (m1 * m1 * 3 + m1 * 65537 + 11) % 2305843009213693951
+    flip = np.where(eid % 7 < 2, np.int64(1) << (eid % 61), np.int64(0))
+    return ph ^ flip
+
+
+DUP_PHASH_SQL = (
+    f"m AS (SELECT doc_id, ((doc_id % {PHASH_BASE_MOD}) * 2654435761) % 1000003 "
+    "AS m1 FROM documents), "
+    "ph AS (SELECT doc_id, xor((m1*m1*3 + m1*65537 + 11) % 2305843009213693951, "
+    "CASE WHEN doc_id % 7 < 2 THEN (CAST(1 AS BIGINT) << CAST(doc_id % 61 AS INTEGER)) "
+    "ELSE CAST(0 AS BIGINT) END) AS phash FROM m)"
+)
+
+
+def q_phash_dup_clusters(sf_dir: str):
+    """Perceptual image dedup end-to-end: banded phash pair mining
+    (pigeonhole-exact recall for Hamming <= 3, one groupby shuffle,
+    in-group popcount verify) -> union-find -> (id, rep) clusters.
+    The image analogue of ``neardup_clusters``; at 100 TB the phash
+    column comes from the decode stage (stages/multimodal.py) instead
+    of this SQL-mirrorable synthetic."""
+    ds = _t(sf_dir, "documents", ["doc_id"], split=8)
+
+    def add(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "phash", pa.array(dup_phash(t["doc_id"].to_numpy()), pa.int64())
+        )
+
+    with_ph = ds.map_batches(add, batch_format="pyarrow")
+    pairs = dd.hamming_band_pairs(
+        with_ph, hash_col="phash", id_col="doc_id", max_hamming=3
+    )
+    cl = dd.cluster_pairs(pairs)
+    cl["id"] = cl["id"].astype(np.int64)
+    cl["rep"] = cl["rep"].astype(np.int64)
+    return cl.sort_values("id").reset_index(drop=True)
+
+
+PHASH_DUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE " + DUP_PHASH_SQL + ", "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ph a JOIN ph b "
+    "ON a.doc_id < b.doc_id AND bit_count(xor(a.phash, b.phash)) <= 3), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach(id, r) AS (SELECT a, b FROM edges "
+    "UNION SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a) "
+    "SELECT id, CAST(least(id, min(r)) AS BIGINT) AS rep FROM reach "
+    "GROUP BY id ORDER BY id"
+)
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter semi-join
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 20  # 128 KiB bitmap
+BLOOM_K = 4
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(n, BLOOM_K) bit positions via k independent splitmix64 streams."""
+    from fairy_core_ray.functions.hashing import splitmix64
+
+    h = keys.astype(np.int64).view(np.uint64)
+    pos = np.empty((len(keys), BLOOM_K), np.int64)
+    for i in range(BLOOM_K):
+        pos[:, i] = (
+            splitmix64(h ^ np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF))
+            % np.uint64(BLOOM_BITS)
+        ).astype(np.int64)
+    return pos
+
+
+def _bloom_build(keys: np.ndarray) -> np.ndarray:
+    """Packed uint64 bitmap with every key's BLOOM_K bits set."""
+    bits = np.zeros(BLOOM_BITS // 64, np.uint64)
+    if len(keys):
+        pos = _bloom_positions(keys).ravel()
+        np.bitwise_or.at(bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+    return bits
+
+
+def _bloom_test(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    pos = _bloom_positions(keys)
+    hit = np.ones(len(keys), bool)
+    for i in range(BLOOM_K):
+        p = pos[:, i]
+        hit &= (bits[p >> 6] >> (p & 63).astype(np.uint64)) & np.uint64(1) > 0
+    return hit
+
+
+def q_bloom_semijoin(sf_dir: str):
+    """Semi-join via broadcast bloom prefilter + exact confirm: lineitem
+    rows whose order is 1-URGENT, aggregated per returnflag. The bloom
+    bitmap folds from per-block partials (fixed 128 KiB each, OR on the
+    driver) and broadcasts ONCE; at 100 TB the bloom drops ~all
+    non-members before any shuffle, and the exact confirm runs as a
+    hash-partitioned semi-join over only the surviving ~(members + eps)
+    rows — here the confirm is the same sorted-key broadcast the dup-key
+    path uses (the urgent key set is dimension-sized)."""
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"], split=8)
+
+    def urgent_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.equal(t["o_orderpriority"], "1-URGENT")
+        return pa.table({"k": pc.filter(t["o_orderkey"], m)})
+
+    key_blocks = [
+        b["k"].to_numpy()
+        for b in orders.map_batches(urgent_keys, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+        if len(b)
+    ]
+    keys = np.sort(np.concatenate(key_blocks)) if key_blocks else np.empty(0, np.int64)
+    bits = _bloom_build(keys)
+    bref = ray.put((bits, keys))
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        bm, kk = ray.get(bref)
+        lk = df["l_orderkey"].to_numpy(np.int64)
+        cand = _bloom_test(bm, lk)  # bloom prefilter (no false negatives)
+        sub = df[cand]
+        if len(kk) and len(sub):
+            lk2 = sub["l_orderkey"].to_numpy(np.int64)
+            p = np.minimum(np.searchsorted(kk, lk2), len(kk) - 1)
+            sub = sub[kk[p] == lk2]  # exact confirm
+        elif not len(kk):
+            sub = sub.iloc[:0]
+        g = sub.groupby("l_returnflag", sort=False).agg(
+            p_n=("l_quantity", "size"), p_qty=("l_quantity", "sum")
+        )
+        return g.reset_index()
+
+    parts = list(
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"], split=8)
+        .map_batches(agg, batch_format="pandas")
+        .iter_batches(batch_size=None, batch_format="pandas")
+    )
+    allp = pd.concat(parts, ignore_index=True)
+    out = (
+        allp.groupby("l_returnflag", sort=True)
+        .agg(n_items=("p_n", "sum"), sum_qty=("p_qty", "sum"))
+        .reset_index()
+    )
+    out["n_items"] = out["n_items"].astype(np.int64)
+    out["sum_qty"] = _round_half_away(out["sum_qty"].to_numpy(np.float64), 2)
+    return out
+
+
+BLOOM_SEMIJOIN_SQL = (
+    "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items, "
+    "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
+    "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+    "WHERE o_orderpriority = '1-URGENT') "
+    "GROUP BY l_returnflag ORDER BY l_returnflag"
+)
+
+
+# ---------------------------------------------------------------------------
+# nearest-site join (k=1 spatial NN against a broadcast site set)
+# ---------------------------------------------------------------------------
+
+
+def q_nearest_site_join(sf_dir: str):
+    """Every event point joined to its nearest site (the KNN query set
+    doubling as dimension table): per-batch vectorized distance matrix
+    against the broadcast sites, argmin with smaller-site tie-break —
+    the k=1 NN-join shape (assign points to facilities/anchors) that a
+    shuffle join cannot express. dist2 uses identical IEEE ops both
+    sides, so it compares exactly."""
+    sites = np.array([(x, y) for _, x, y in KNN_QUERIES])
+    site_ids = np.array([q for q, _, _ in KNN_QUERIES], np.int64)
+    sref = ray.put((sites, site_ids))
+
+    def nearest(t: pa.Table) -> pa.Table:
+        S, sids = ray.get(sref)
+        eid = t["event_id"].to_numpy()
+        lon, lat = event_lonlat(eid)
+        d2 = (lon[:, None] - S[:, 0][None, :]) ** 2 + (
+            lat[:, None] - S[:, 1][None, :]
+        ) ** 2
+        j = np.argmin(d2, axis=1)  # first min => smallest site_id wins ties
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "site_id": pa.array(sids[j], pa.int64()),
+                "dist2": pa.array(d2[np.arange(len(eid)), j], pa.float64()),
+            }
+        )
+
+    out = (
+        _t(sf_dir, "events", ["event_id"], split=8)
+        .map_batches(nearest, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+NEAREST_SITE_SQL = (
+    "WITH p AS (" + EVENT_LONLAT_SQL + "), "
+    f"s(site_id, sx, sy) AS (VALUES {KNN_Q_SQL_VALUES}) "
+    "SELECT event_id, site_id, (lon - sx) * (lon - sx) + (lat - sy) * (lat - sy) "
+    "AS dist2 FROM p CROSS JOIN s "
+    "QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY "
+    "(lon - sx) * (lon - sx) + (lat - sy) * (lat - sy), site_id) = 1 "
+    "ORDER BY event_id"
+)
+
+
+# ---------------------------------------------------------------------------
+# exact kNN self-join over embeddings
+# ---------------------------------------------------------------------------
+
+SELF_KNN_K = 3
+
+
+def q_knn_self_join(sf_dir: str):
+    """Each embedding's top-3 cosine neighbors (exact, block-streamed —
+    see knn.cosine_topk_selfjoin). Ranks on unrounded cosine; rounds to
+    5 dp for the value compare (both engines' dot products agree to
+    ~1e-15, far from both the ranking gaps and the rounding boundary)."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"], split=8)
+    out = knn_mod.cosine_topk_selfjoin(
+        emb, vec_col="embedding", id_col="vec_id", k=SELF_KNN_K
+    )
+    out["cosine"] = _round_half_away(out["cosine"].to_numpy(np.float64), 5)
+    return out.sort_values(["vec_id", "neighbor_id"]).reset_index(drop=True)
+
+
+KNN_SELF_JOIN_SQL = (
+    "SELECT a.vec_id, b.vec_id AS neighbor_id, "
+    "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 5) AS cosine "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id "
+    "QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+    "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= "
+    f"{SELF_KNN_K} ORDER BY a.vec_id, neighbor_id"
+)
+
+
+# ---------------------------------------------------------------------------
+# per-user daily gap-fill resample
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+def q_user_daily_gapfill(sf_dir: str):
+    """Resample each user's event stream to a dense daily series (zero
+    rows for gap days between the user's first and last event) — the
+    regularization step before any per-user time-series featurization.
+    One groupby(user) shuffle of (user, day) pairs; the dense range
+    explodes INSIDE map_groups, so no stage materializes the corpus."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"], split=8)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].astype("datetime64[us]").astype(np.int64) // _US_PER_DAY)
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(), "day": day})
+
+    def gapfill(g: pd.DataFrame) -> pd.DataFrame:
+        days = g["day"].to_numpy(np.int64)
+        lo, hi = days.min(), days.max()
+        full = np.arange(lo, hi + 1, dtype=np.int64)
+        cnt = np.bincount(days - lo, minlength=len(full))
+        return pd.DataFrame(
+            {
+                "user_id": np.repeat(g["user_id"].iloc[0], len(full)),
+                "day": full,
+                "n_events": cnt.astype(np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(project, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(gapfill, batch_format="pandas")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+USER_DAILY_GAPFILL_SQL = (
+    "WITH d AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) // "
+    f"{_US_PER_DAY} AS day FROM events), "
+    "span AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM d GROUP BY 1), "
+    "days AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day FROM span), "
+    "cnt AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2) "
+    "SELECT days.user_id, days.day, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_events "
+    "FROM days LEFT JOIN cnt USING (user_id, day) ORDER BY user_id, day"
+)
+
+
+# ---------------------------------------------------------------------------
+# latest-row snapshot compaction (CDC-style keep-latest per key)
+# ---------------------------------------------------------------------------
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """Snapshot compaction: each user's LATEST event (max ts, then max
+    event_id on ties) — the keep-latest-per-key primitive of CDC /
+    upsert-log compaction. Associative: each batch first reduces to its
+    own per-user maxima (combiner), so the groupby shuffle moves at most
+    one row per (batch, user), never the log."""
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "value"], split=8)
+
+    def pick_latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "ts", "event_id"], ascending=[True, False, False],
+            kind="mergesort",
+        )
+        return df.drop_duplicates("user_id", keep="first")
+
+    out = (
+        ds.map_batches(pick_latest, batch_format="pandas")  # per-batch combiner
+        .groupby("user_id")
+        .map_groups(pick_latest, batch_format="pandas")
+        .to_pandas()
+    )
+    out["ts_us"] = out["ts"].astype("datetime64[us]").astype(np.int64)
+    out = out.drop(columns=["ts"])
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["event_id"] = out["event_id"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)[
+        ["user_id", "event_id", "ts_us", "value"]
+    ]
+
+
+LATEST_EVENT_SQL = (
+    "SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value "
+    "FROM events "
+    "QUALIFY row_number() OVER (PARTITION BY user_id "
+    "ORDER BY ts DESC, event_id DESC) = 1 ORDER BY user_id"
+)
+
+
+# ---------------------------------------------------------------------------
+# fixed-width value histogram
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 10.0
+
+
+def q_event_value_hist(sf_dir: str):
+    """Fixed-width histogram over events.value: per-batch bincount
+    partials (one tiny array each), elementwise driver fold — the
+    fixed-cardinality aggregate shape where a groupby shuffle would be
+    pure overhead. floor(value/width) is one IEEE op, identical both
+    sides."""
+    ds = _t(sf_dir, "events", ["value"], split=8)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v = t["value"].to_numpy()
+        b = np.floor(v / _HIST_WIDTH).astype(np.int64)
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bin": u, "n": c.astype(np.int64)})
+
+    parts = list(
+        ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pandas"
+        )
+    )
+    allp = pd.concat(parts, ignore_index=True)
+    out = allp.groupby("bin", sort=True)["n"].sum().reset_index()
+    out["bin"] = out["bin"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+EVENT_VALUE_HIST_SQL = (
+    f"SELECT CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) AS bin, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY 1"
+)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate distinct count (rows-only: sketch, not SQL)
+# ---------------------------------------------------------------------------
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+
+
+def hll_partial(keys: np.ndarray) -> np.ndarray:
+    """(m,) uint8 register maxima of one batch (Flajolet et al. 2007):
+    register = top p hash bits, rank = leading-zero count of the rest
+    + 1. Vectorized; partials merge by elementwise max (associative +
+    commutative + idempotent — the ideal distributed aggregate)."""
+    from fairy_core_ray.functions.hashing import splitmix64
+
+    regs = np.zeros(_HLL_M, np.uint8)
+    if not len(keys):
+        return regs
+    h = splitmix64(keys.astype(np.int64).view(np.uint64))
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(_HLL_P)) | np.uint64((1 << _HLL_P) - 1)  # low bits guard
+    # leading zeros of a u64 via float64 exponent is unsafe; use bit scan
+    rank = np.zeros(len(h), np.uint8)
+    cur = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        top = cur >> np.uint64(64 - shift)
+        zero = top == 0
+        rank[zero] += np.uint8(shift)
+        cur[zero] <<= np.uint64(shift)
+    rank += 1
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * m and zeros:  # small-range linear counting
+        e = m * np.log(m / zeros)
+    return int(round(e))
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) via HyperLogLog: per-batch
+    4 KiB register partials, elementwise-max fold — constant driver and
+    shuffle state regardless of corpus size (the sketch shape exact
+    ``unique_counts`` cannot keep at 10^12 rows). Deterministic (splitmix
+    hash, no RNG), so the driver's rows-only check is stable;
+    `test_queries_ext2.py` bounds the error vs the exact count."""
+    ds = _t(sf_dir, "events", ["user_id"], split=8)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        regs = hll_partial(t["user_id"].to_numpy())
+        return pd.DataFrame({"reg": [regs.tobytes()]})
+
+    regs = np.zeros(_HLL_M, np.uint8)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pandas"
+    ):
+        for blob in b["reg"]:
+            regs = np.maximum(regs, np.frombuffer(blob, np.uint8))
+    return pd.DataFrame({"approx_distinct": pd.array([hll_estimate(regs)], "int64")})
+
+
+# ---------------------------------------------------------------------------
+# registries (merged into queries.QUERIES / queries.ORACLE)
+# ---------------------------------------------------------------------------
+
+EXT2_QUERIES = {
+    "phash_dup_clusters": q_phash_dup_clusters,
+    "bloom_semijoin": q_bloom_semijoin,
+    "nearest_site_join": q_nearest_site_join,
+    "knn_self_join": q_knn_self_join,
+    "user_daily_gapfill": q_user_daily_gapfill,
+    "latest_event_per_user": q_latest_event_per_user,
+    "event_value_hist": q_event_value_hist,
+    "approx_distinct_users": q_approx_distinct_users,
+}
+
+EXT2_ORACLE = {
+    "phash_dup_clusters": PHASH_DUP_CLUSTERS_SQL,
+    "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
+    "nearest_site_join": NEAREST_SITE_SQL,
+    "knn_self_join": KNN_SELF_JOIN_SQL,
+    "user_daily_gapfill": USER_DAILY_GAPFILL_SQL,
+    "latest_event_per_user": LATEST_EVENT_SQL,
+    "event_value_hist": EVENT_VALUE_HIST_SQL,
+    # approx_distinct_users: rows-only — an HLL sketch is not SQL-expressible;
+    # error bound + determinism pinned in test_queries_ext2.py
+}
+
+from fairy_core_ray.pipelines import queries as _q  # noqa: E402
+
+_q.QUERIES.update(EXT2_QUERIES)
+_q.ORACLE.update(EXT2_ORACLE)

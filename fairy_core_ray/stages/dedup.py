@@ -816,6 +816,70 @@ def simhash_pairs(
     return allp.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def hamming_band_pairs(
+    ds: rd.Dataset,
+    *,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 4096,
+) -> pd.DataFrame:
+    """Near-dup pairs over a PRECOMPUTED 64-bit hash column (e.g. image
+    phash): banded candidate mining + exact popcount verification, both
+    inside one ``groupby(band, bh)`` shuffle.
+
+    Pigeonhole-exact for ``max_hamming <= 3``: any pair within Hamming 3
+    of a 64-bit word shares at least one of the 4 disjoint 16-bit bands,
+    so banded candidates have 100% recall (buckets over ``max_bucket``
+    are dropped — the standard hot-key guard). Unlike ``simhash_pairs``
+    this takes the sketch as input, so it is the dedup primitive for
+    modalities whose fingerprint is computed upstream (image phash,
+    audio chromaprint). The shuffle moves 4 small rows per input row;
+    verification runs inside map_groups; the driver folds verified pairs
+    only."""
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        h = df[hash_col].to_numpy(np.int64).view(np.uint64)
+        ids = df[id_col].to_numpy()
+        m = len(ids)
+        shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))[None, :]
+        bh = ((h[:, None] >> shifts) & np.uint64(0xFFFF)).astype(np.int64).ravel()
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(4, dtype=np.int64), m),
+                "bh": bh,
+                "id": np.repeat(ids, 4),
+                "sh": h.view(np.int64).repeat(4),
+            }
+        )
+
+    verified = (
+        ds.select_columns([id_col, hash_col])
+        .map_batches(sketch, batch_format="pandas")
+        .groupby(["band", "bh"])
+        .map_groups(
+            lambda g: _emit_simhash_pairs(g, max_hamming, max_bucket),
+            batch_format="pandas",
+        )
+    )
+    frames = list(verified.iter_batches(batch_size=None, batch_format="pandas"))
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+            "hamming": pd.Series([], dtype=np.int64),
+        }
+    )
+    if not frames:
+        return empty
+    allp = pd.concat(frames, ignore_index=True)
+    if not len(allp):
+        return empty
+    allp = allp.drop_duplicates(["id_a", "id_b"])
+    allp["hamming"] = allp["hamming"].astype(np.int64)
+    return allp.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup (inverted-index candidates)
 # ---------------------------------------------------------------------------

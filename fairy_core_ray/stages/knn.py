@@ -338,3 +338,86 @@ def ivf_cosine_ann(
     if len(out):
         out["cosine"] = out["cosine"].astype(np.float64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# kNN self-join (every row's top-k neighbors, exact)
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _self_knn_block(block_i, all_refs: list, k: int):
+    """Top-k cosine neighbors for every row of ONE block against the
+    whole corpus, streamed block-by-block: fetch one neighbor block at a
+    time (object-store zero-copy), matmul, merge into a running (n_i, k)
+    candidate table. Per-task memory is O(|block_i| x (k + |block_j|)) —
+    never the full corpus. Tie-break is deterministic: higher cosine
+    first, then smaller neighbor id (candidates are id-sorted before the
+    stable value sort)."""
+    from fairy_core_ray.stages.dedup import _unpack_vec_block
+
+    # block_i arrives auto-dereferenced (top-level ObjectRef arg);
+    # all_refs is a list of refs, fetched one at a time below
+    ids_i, Xi = _unpack_vec_block(block_i)
+    n = len(ids_i)
+    if n == 0:
+        return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cosine": []})
+    best_v = np.full((n, 0), -2.0)
+    best_id = np.full((n, 0), -1, dtype=np.int64)
+    for ref in all_refs:
+        ids_j, Xj = _unpack_vec_block(ray.get(ref))
+        if not len(ids_j):
+            continue
+        S = Xi @ Xj.T
+        S[ids_i[:, None] == ids_j[None, :]] = -2.0  # exclude self
+        cand_v = np.concatenate([best_v, S], axis=1)
+        cand_id = np.concatenate(
+            [best_id, np.broadcast_to(ids_j, (n, len(ids_j)))], axis=1
+        )
+        # id-sort then stable value-sort => ties resolved by smaller id
+        o1 = np.argsort(cand_id, axis=1, kind="stable")
+        cand_v = np.take_along_axis(cand_v, o1, axis=1)
+        cand_id = np.take_along_axis(cand_id, o1, axis=1)
+        o2 = np.argsort(-cand_v, axis=1, kind="stable")[:, :k]
+        best_v = np.take_along_axis(cand_v, o2, axis=1)
+        best_id = np.take_along_axis(cand_id, o2, axis=1)
+    kk = best_v.shape[1]
+    return pd.DataFrame(
+        {
+            "vec_id": np.repeat(ids_i, kk),
+            "neighbor_id": best_id.ravel(),
+            "cosine": best_v.ravel(),
+        }
+    )
+
+
+def cosine_topk_selfjoin(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+) -> pd.DataFrame:
+    """Exact kNN self-join: (vec_id, neighbor_id, cosine) — each row's
+    top-k cosine neighbors over the whole corpus.
+
+    Normalized vector blocks live in the object store; one Ray task per
+    block streams the other blocks through a running top-k merge, so the
+    driver holds only refs + the (n x k) result. Work is O(B^2) block
+    matmuls — the exact-kNN lower bound; route through lsh_cosine_ann /
+    ivf_cosine_ann when approximate recall is acceptable at corpus
+    scale."""
+    from fairy_core_ray.stages.dedup import _vec_block_refs
+
+    blocks = _vec_block_refs(ds, id_col, vec_col)
+    tasks = [_self_knn_block.remote(b, blocks, k) for b in blocks]
+    parts = [p for p in ray.get(tasks) if len(p)]
+    if not parts:
+        return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cosine": []})
+    out = pd.concat(parts, ignore_index=True)
+    # drop -2.0 sentinel rows (self / padding when the corpus has < k+1
+    # rows); real cosines are always >= -1
+    out = out[out["cosine"] > -1.5]
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    out["neighbor_id"] = out["neighbor_id"].astype(np.int64)
+    return out.sort_values(["vec_id", "neighbor_id"]).reset_index(drop=True)

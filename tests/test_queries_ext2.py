@@ -1,0 +1,150 @@
+"""Extension batch 2: Ray result == DuckDB oracle on sf0.001, plus
+operator-level invariants (bloom no-false-negative, banded phash recall,
+self-kNN vs brute force)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import fairy_core_ray.pipelines.queries_ext2 as qx2
+from fairy_core_ray.pipelines.queries_ext2 import EXT2_ORACLE, EXT2_QUERIES
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["events", "orders", "lineitem", "documents", "embeddings"]
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(EXT2_ORACLE))
+def test_matches_oracle(ray_session, name):
+    got = EXT2_QUERIES[name](SF)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = _oracle(EXT2_ORACLE[name])
+    got, want = _norm(got), _norm(want)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        if g.dtype.kind == "f":
+            assert np.allclose(g, w.astype(np.float64), atol=0, rtol=0), c
+        else:
+            assert (g == w.astype(g.dtype)).all(), c
+
+
+def test_bloom_no_false_negatives():
+    keys = np.array([3, 17, 4242, 999_983], dtype=np.int64)
+    bits = qx2._bloom_build(keys)
+    assert qx2._bloom_test(bits, keys).all()
+    # false-positive rate on disjoint probes stays tiny at this fill
+    probe = np.arange(1_000_000, 1_100_000, dtype=np.int64)
+    fp = qx2._bloom_test(bits, probe).mean()
+    assert fp < 1e-3
+
+
+def test_bloom_empty_keys():
+    bits = qx2._bloom_build(np.empty(0, np.int64))
+    assert not qx2._bloom_test(bits, np.array([1, 2, 3], np.int64)).any()
+
+
+def test_hamming_band_pairs_exact_recall(ray_session):
+    """banded mining must find EVERY pair at hamming <= 3 (pigeonhole)."""
+    import ray.data as rd
+
+    from fairy_core_ray.functions.hashing import hamming64
+    from fairy_core_ray.stages.dedup import hamming_band_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 1 << 61, size=40, dtype=np.int64)
+    # plant neighbors at hamming 1..3 of the first 10 bases
+    rows = [("b", i, h) for i, h in enumerate(base)]
+    nid = len(base)
+    for i in range(10):
+        h = int(base[i])
+        for nbits in (1, 2, 3):
+            flipped = h
+            for b in range(nbits):
+                flipped ^= 1 << ((i * 7 + b * 13) % 61)
+            rows.append(("p", nid, np.int64(flipped)))
+            nid += 1
+    ids = np.array([r[1] for r in rows], np.int64)
+    hs = np.array([r[2] for r in rows], np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"id": ids, "h": hs})).repartition(4)
+    got = hamming_band_pairs(ds, hash_col="h", id_col="id", max_hamming=3)
+    got_set = set(zip(got["id_a"].tolist(), got["id_b"].tolist()))
+    # brute force
+    H = hamming64(hs.view(np.uint64)[:, None], hs.view(np.uint64)[None, :])
+    iu, ju = np.triu_indices(len(ids), 1)
+    want = {
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b])))
+        for a, b in zip(iu[H[iu, ju] <= 3], ju[H[iu, ju] <= 3])
+    }
+    assert got_set == want
+
+
+def test_self_knn_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from fairy_core_ray.stages.knn import cosine_topk_selfjoin
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((60, 8))
+    df = pd.DataFrame({"vec_id": np.arange(60, dtype=np.int64), "embedding": list(X)})
+    ds = rd.from_pandas(df).repartition(5)
+    got = cosine_topk_selfjoin(ds, k=4)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -2.0)
+    for i in range(60):
+        order = np.lexsort((np.arange(60), -S[i]))[:4]
+        sub = got[got["vec_id"] == i]
+        assert sorted(sub["neighbor_id"].tolist()) == sorted(order.tolist()), i
+        assert np.allclose(np.sort(sub["cosine"].to_numpy())[::-1], S[i][order], atol=1e-12)
+
+
+def test_gapfill_dense_and_zeroed(ray_session):
+    out = qx2.q_user_daily_gapfill(SF)
+    for uid, g in out.groupby("user_id"):
+        d = g["day"].to_numpy()
+        assert (np.diff(d) == 1).all()  # dense range
+    assert (out["n_events"] >= 0).all()
+
+
+def test_hll_error_bound_and_determinism(ray_session):
+    import duckdb
+
+    got1 = qx2.q_approx_distinct_users(SF)["approx_distinct"].iloc[0]
+    got2 = qx2.q_approx_distinct_users(SF)["approx_distinct"].iloc[0]
+    assert got1 == got2  # no RNG, partial-merge order-invariant
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    assert abs(int(got1) - exact) / exact < 0.05
+
+
+def test_hll_partial_merge_associative():
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 1 << 62, size=30_000, dtype=np.int64)
+    whole = qx2.hll_partial(keys)
+    split = np.maximum(
+        qx2.hll_partial(keys[:11_000]),
+        np.maximum(qx2.hll_partial(keys[11_000:17_000]), qx2.hll_partial(keys[17_000:])),
+    )
+    assert (whole == split).all()
+    # ~30k distinct-ish keys: estimate within 3 sigma of 1.04/sqrt(m)
+    n_exact = len(np.unique(keys))
+    err = abs(qx2.hll_estimate(whole) - n_exact) / n_exact
+    assert err < 3 * 1.04 / np.sqrt(qx2._HLL_M)
