@@ -616,16 +616,15 @@ def _rect_polys():
 
 
 def q_geo_pip(sf_dir: str):
-    """point-in-polygon join against the rectangle tile set via the
-    GridIndex actor pool (north rule stage [J]); inner matches only."""
-    from fairy_core_ray.stages.geo_stages import PipJoiner
+    """point-in-polygon join against the rectangle tile set (north rule
+    stage [J]); inner matches only. Task-pool form with a per-process
+    GridIndex cache — same semantics as the PipJoiner actor stage the
+    flagship uses, without the per-query actor-pool spawn."""
+    from fairy_core_ray.stages.geo_stages import make_pip_join_fn
 
     polys_ref = ray.put(_rect_polys())
     joined = _events_points(sf_dir).map_batches(
-        PipJoiner,
-        fn_constructor_kwargs={"polys_ref": polys_ref},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        make_pip_join_fn(polys_ref), batch_format="pyarrow"
     )
 
     def keep_matched(t: pa.Table) -> pa.Table:
@@ -637,14 +636,11 @@ def q_geo_pip(sf_dir: str):
 def q_geo_pip_unmatched(sf_dir: str):
     """anti-join side: events whose footprint falls in no tile
     (reference id_crosscheck finding shape, rna.py:160-211)."""
-    from fairy_core_ray.stages.geo_stages import PipJoiner
+    from fairy_core_ray.stages.geo_stages import make_pip_join_fn
 
     polys_ref = ray.put(_rect_polys())
     joined = _events_points(sf_dir).map_batches(
-        PipJoiner,
-        fn_constructor_kwargs={"polys_ref": polys_ref},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        make_pip_join_fn(polys_ref), batch_format="pyarrow"
     )
 
     def keep_unmatched(t: pa.Table) -> pa.Table:
@@ -668,11 +664,21 @@ def q_geo_tile_hist(sf_dir: str):
             }
         )
 
-    return (
-        pip.map_batches(partial, batch_format="pyarrow")
-        .groupby("tile_id")
-        .aggregate(rd.aggregate.Sum("partial_n", alias_name="n_points"))
+    # the partial stream is <= n_tiles rows per batch (12 here; tile
+    # sets are dimension-sized by construction) — a driver fold beats a
+    # distributed sort-groupby by the whole shuffle's fixed cost
+    parts = list(
+        pip.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pandas"
+        )
     )
+    allp = pd.concat(parts, ignore_index=True)
+    out = (
+        allp.groupby("tile_id", sort=True)["partial_n"].sum().reset_index()
+        .rename(columns={"partial_n": "n_points"})
+    )
+    out["n_points"] = out["n_points"].astype(np.int64)
+    return out
 
 
 def q_geo_knn(sf_dir: str):
@@ -999,45 +1005,61 @@ def q_sessionize(sf_dir: str):
 
 def q_asof_last_order(sf_dir: str):
     """as-of join: each event matched to the customer's latest order at
-    or before the event time (pd.merge_asof per key group over a tagged
-    union — the bucketed as-of pattern from the guide). Events with no
-    prior order are dropped (inner as-of)."""
+    or before the event time. Keys are HASH-BUCKETED (not one group per
+    key): both sides shuffle once by ``hash(key) % ASOF_BUCKETS`` and
+    each bucket runs ONE vectorized multi-key ``pd.merge_asof(by=key)``
+    over all of its keys — per-group-UDF overhead scales with the bucket
+    count, not the key cardinality (was ~1 Python call per key: 5-7 s at
+    1.5k keys; now 0.06 calls/key). Events with no prior order are
+    dropped (inner as-of)."""
+    n_buckets = 64
 
-    events = _t(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
-        lambda t: pa.table(
+    def tag_events(t: pa.Table) -> pa.Table:
+        key = t["user_id"].to_numpy()
+        return pa.table(
             {
+                "bucket": pa.array(
+                    _key_hash_bucket(key, n_buckets), pa.int64()
+                ),
                 "key": t["user_id"],
                 "t_us": pc.cast(t["ts"], pa.int64()),
                 "event_id": t["event_id"],
-                "side": pa.array(["e"] * len(t), pa.string()),
             }
-        ),
-        batch_format="pyarrow",
-    )
-    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
-        lambda t: pa.table(
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"].to_numpy()
+        return pa.table(
             {
+                "bucket": pa.array(
+                    _key_hash_bucket(key, n_buckets), pa.int64()
+                ),
                 "key": t["o_custkey"],
                 "t_us": pc.cast(t["o_orderdate"], pa.int64()),
-                "event_id": pa.array([-1] * len(t), pa.int64()),
-                "side": pa.array(["o"] * len(t), pa.string()),
+                "event_id": pa.array(np.full(len(t), -1, np.int64), pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
+        )
+
+    events = _t(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        tag_events, batch_format="pyarrow"
+    )
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        tag_orders, batch_format="pyarrow"
     )
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        ev = g[g["side"] == "e"].sort_values("t_us", kind="mergesort")
-        od = g[g["side"] == "o"].sort_values("t_us", kind="mergesort")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["event_id"] >= 0].sort_values("t_us", kind="mergesort")
+        od = g[g["event_id"] < 0].sort_values("t_us", kind="mergesort")
         if ev.empty or od.empty:
             return pd.DataFrame(
                 {"event_id": pd.Series([], dtype=np.int64),
                  "last_order_us": pd.Series([], dtype=np.int64)}
             )
         m = pd.merge_asof(
-            ev[["t_us", "event_id"]],
-            od[["t_us"]].assign(last_order_us=od["t_us"].to_numpy()),
+            ev[["t_us", "key", "event_id"]],
+            od[["t_us", "key"]].assign(last_order_us=od["t_us"].to_numpy()),
             on="t_us",
+            by="key",
             direction="backward",
         )
         m = m[m["last_order_us"].notna()]
@@ -1048,9 +1070,19 @@ def q_asof_last_order(sf_dir: str):
             }
         )
 
-    return events.union(orders).groupby("key").map_groups(
-        per_key, batch_format="pandas"
+    return events.union(orders).groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas"
     )
+
+
+def _key_hash_bucket(key: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic int64 bucket of a key array (splitmix-mixed so
+    sequential ids spread evenly)."""
+    from fairy_core_ray.functions.hashing import splitmix64
+
+    return (
+        splitmix64(key.astype(np.int64).view(np.uint64)) % np.uint64(n_buckets)
+    ).astype(np.int64)
 
 
 def q_image_thumb_stats(sf_dir: str):

@@ -499,28 +499,59 @@ def q_geo_distance_join(sf_dir: str):
         }
     )
 
-    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
-        own = g[g["owner"].to_numpy()]
-        if own.empty or len(g) < 2:
-            return empty
-        a_id = own["event_id"].to_numpy()
-        b_id = g["event_id"].to_numpy()
-        dlon = own["lon"].to_numpy()[:, None] - g["lon"].to_numpy()[None, :]
-        dlat = own["lat"].to_numpy()[:, None] - g["lat"].to_numpy()[None, :]
-        d2 = dlon * dlon + dlat * dlat
-        mask = (a_id[:, None] < b_id[None, :]) & (d2 <= r * r)
-        ai, bi = np.nonzero(mask)
-        if len(ai) == 0:
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one map_groups call per HASH BUCKET of ~cells/256, not per
+        # cell: the ~40k tiny per-cell UDF calls were pure Ray/pandas
+        # dispatch overhead (measured 6.5 s -> ~2 s at sf0.1). Cells
+        # stay exact: rows sort by cell and each cell's owner x
+        # candidate matrix evaluates as a numpy slice.
+        order = np.argsort(g["cell"].to_numpy(), kind="stable")
+        cell = g["cell"].to_numpy()[order]
+        eid = g["event_id"].to_numpy()[order]
+        lon = g["lon"].to_numpy()[order]
+        lat = g["lat"].to_numpy()[order]
+        owner = g["owner"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        ends = np.r_[starts[1:], len(cell)]
+        outs = []
+        for s, e in zip(starts, ends):
+            if e - s < 2 or not owner[s:e].any():
+                continue
+            om = owner[s:e]
+            a_id = eid[s:e][om]
+            b_id = eid[s:e]
+            dlon = lon[s:e][om][:, None] - lon[s:e][None, :]
+            dlat = lat[s:e][om][:, None] - lat[s:e][None, :]
+            d2 = dlon * dlon + dlat * dlat
+            mask = (a_id[:, None] < b_id[None, :]) & (d2 <= r * r)
+            ai, bi = np.nonzero(mask)
+            if len(ai):
+                outs.append((a_id[ai], b_id[bi], d2[ai, bi]))
+        if not outs:
             return empty
         return pd.DataFrame(
-            {"id_a": a_id[ai], "id_b": b_id[bi], "dist2": d2[ai, bi]}
+            {
+                "id_a": np.concatenate([o[0] for o in outs]),
+                "id_b": np.concatenate([o[1] for o in outs]),
+                "dist2": np.concatenate([o[2] for o in outs]),
+            }
         )
+
+    def bucketed(t: pa.Table) -> pd.DataFrame:
+        from fairy_core_ray.functions.hashing import splitmix64
+
+        df = keyed(t)
+        df["bucket"] = (
+            splitmix64(df["cell"].to_numpy(np.int64).view(np.uint64))
+            % np.uint64(256)
+        ).astype(np.int64)
+        return df
 
     out = (
         _t(sf_dir, "events", ["event_id"])
-        .map_batches(keyed, batch_format="pyarrow")
-        .groupby("cell")
-        .map_groups(per_cell, batch_format="pandas")
+        .map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()
     )
     if out.empty:

@@ -41,32 +41,65 @@ def add_cells(batch: pa.Table, res: int = DEFAULT_RES) -> pa.Table:
     return batch.append_column("cell", pa.array(cells, pa.int64()))
 
 
+def _pip_join_batch(batch: pa.Table, index: GridIndex, tile_ids: np.ndarray) -> pa.Table:
+    """Shared PIP-join body: one output row per (point, containing
+    polygon) pair; points in no polygon emit one row with
+    ``tile_id = null`` (anti-join finding)."""
+    px = batch["lon"].to_numpy()
+    py = batch["lat"].to_numpy()
+    pt_idx, poly_idx = index.query_batch(px, py)
+    n = len(batch)
+    matched_mask = np.zeros(n, dtype=bool)
+    matched_mask[pt_idx] = True
+    unmatched = np.flatnonzero(~matched_mask)
+    take_idx = np.concatenate([pt_idx, unmatched])
+    tile_vals = np.concatenate(
+        [tile_ids[poly_idx], np.full(len(unmatched), None, dtype=object)]
+    )
+    out = batch.take(pa.array(take_idx, pa.int64()))
+    return out.append_column("tile_id", pa.array(tile_vals, pa.string()))
+
+
+def _build_pip_state(polys_ref, nx: int, ny: int) -> tuple[GridIndex, np.ndarray]:
+    polys = ray.get(polys_ref) if not isinstance(polys_ref, list) else polys_ref
+    index = GridIndex(polys, nx=nx, ny=ny)
+    return index, np.array([p[0] for p in index.polys], dtype=object)
+
+
 class PipJoiner:
     """Actor-pool PIP join stage.
 
     The polygon set is broadcast once via ``ray.put`` on the driver; each
     actor builds its GridIndex once in ``__init__`` (the STRtree pattern —
-    SURVEY.md §2.10). Each probe batch emits one output row per
-    (point, containing polygon) pair; points in no polygon emit one row
-    with ``tile_id = null`` (anti-join finding).
+    SURVEY.md §2.10).
     """
 
     def __init__(self, polys_ref, nx: int = 64, ny: int = 64):
-        polys = ray.get(polys_ref) if not isinstance(polys_ref, list) else polys_ref
-        self.index = GridIndex(polys, nx=nx, ny=ny)
-        self.tile_ids = np.array([p[0] for p in self.index.polys], dtype=object)
+        self.index, self.tile_ids = _build_pip_state(polys_ref, nx, ny)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        px = batch["lon"].to_numpy()
-        py = batch["lat"].to_numpy()
-        pt_idx, poly_idx = self.index.query_batch(px, py)
-        n = len(batch)
-        matched_mask = np.zeros(n, dtype=bool)
-        matched_mask[pt_idx] = True
-        unmatched = np.flatnonzero(~matched_mask)
-        take_idx = np.concatenate([pt_idx, unmatched])
-        tile_vals = np.concatenate(
-            [self.tile_ids[poly_idx], np.full(len(unmatched), None, dtype=object)]
-        )
-        out = batch.take(pa.array(take_idx, pa.int64()))
-        return out.append_column("tile_id", pa.array(tile_vals, pa.string()))
+        return _pip_join_batch(batch, self.index, self.tile_ids)
+
+
+# per-worker-process index cache for the task-pool form (keyed by the
+# broadcast ref so successive queries with different polygon sets never
+# collide; one build per worker process, like the flagship decode cache)
+_PIP_STATE_CACHE: dict = {}
+
+
+def make_pip_join_fn(polys_ref, nx: int = 64, ny: int = 64):
+    """Task-pool PIP join: identical output to ``PipJoiner`` but as a
+    plain ``map_batches`` function with a per-process index cache —
+    reuses Ray's already-warm task workers instead of paying an
+    actor-pool spawn (~2 s fixed per query at 32 CPUs) and scales to
+    every free CPU instead of a fixed pool size. Use the actor form
+    when the stage holds per-actor mutable state beyond the index."""
+    key = polys_ref.hex() if hasattr(polys_ref, "hex") else str(id(polys_ref))
+
+    def pip_join(batch: pa.Table) -> pa.Table:
+        st = _PIP_STATE_CACHE.get(key)
+        if st is None:
+            st = _PIP_STATE_CACHE[key] = _build_pip_state(polys_ref, nx, ny)
+        return _pip_join_batch(batch, st[0], st[1])
+
+    return pip_join
