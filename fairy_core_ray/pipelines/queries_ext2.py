@@ -495,6 +495,204 @@ def q_approx_distinct_users(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# cell-set compaction (H3 compact analog over the quadtree grid)
+# ---------------------------------------------------------------------------
+
+_COMPACT_FROM = 13
+_COMPACT_TO = 10
+_RES_K = 288230376151711744  # 2^58
+_IX_M = 536870912  # 2^29
+
+
+def q_geo_compact_cells(sf_dir: str):
+    """Compact the event coverage cell set (H3 ``compact`` analog):
+    wherever all 4 children of a parent cell are present, replace them
+    by the parent, iterating res 13 -> 10. The DISTINCT pass is the
+    distributed part (per-batch unique partials — coverage sets are
+    area-bounded, ~1k cells per degree² at res 13); the per-level
+    sibling-count fixpoint is O(|cells|) numpy on the fold. Above a
+    cell budget each level becomes one ``groupby(parent).count``.
+    Output: (cell, res) of the minimal covering set."""
+    ds = _t(sf_dir, "events", ["event_id"], split=8)
+
+    def home_cells(t: pa.Table) -> pd.DataFrame:
+        lon, lat = event_lonlat(t["event_id"].to_numpy())
+        ix = np.floor((lon + 180.0) / 360.0 * 8192).astype(np.int64)
+        iy = np.floor((lat + 90.0) / 180.0 * 8192).astype(np.int64)
+        u = np.unique(ix * _IX_M + iy)
+        return pd.DataFrame({"c": u})
+
+    parts = [
+        b["c"].to_numpy()
+        for b in ds.map_batches(home_cells, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pandas"
+        )
+    ]
+    cur = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    out_cells, out_res = [], []
+    for r in range(_COMPACT_FROM, _COMPACT_TO, -1):
+        if not len(cur):
+            break
+        ix, iy = cur // _IX_M, cur % _IX_M
+        parent = (ix >> 1) * _IX_M + (iy >> 1)
+        po = np.argsort(parent, kind="stable")
+        ps = parent[po]
+        starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+        sizes = np.diff(np.r_[starts, len(ps)])
+        complete = sizes == 4  # all four siblings present (cells distinct)
+        keep_mask = np.repeat(~complete, sizes)
+        keep = cur[po][keep_mask]
+        out_cells.append(np.int64(r) * _RES_K + keep)
+        out_res.append(np.full(len(keep), r, np.int64))
+        cur = ps[starts][complete]
+    out_cells.append(np.int64(_COMPACT_TO) * _RES_K + cur)
+    out_res.append(np.full(len(cur), _COMPACT_TO, np.int64))
+    out = pd.DataFrame(
+        {"cell": np.concatenate(out_cells), "res": np.concatenate(out_res)}
+    )
+    return out.sort_values("cell").reset_index(drop=True)
+
+
+GEO_COMPACT_SQL = (
+    "WITH pts AS (" + EVENT_LONLAT_SQL + "), "
+    "c13 AS (SELECT DISTINCT "
+    "CAST(floor((lon + 180.0) / 360.0 * 8192) AS BIGINT) AS ix, "
+    "CAST(floor((lat + 90.0) / 180.0 * 8192) AS BIGINT) AS iy FROM pts), "
+    # level 13 -> 12
+    "p12 AS (SELECT ix // 2 AS ix, iy // 2 AS iy, count(*) AS n FROM c13 GROUP BY 1, 2), "
+    "k13 AS (SELECT c.ix, c.iy FROM c13 c JOIN p12 p ON c.ix // 2 = p.ix AND c.iy // 2 = p.iy WHERE p.n < 4), "
+    "c12 AS (SELECT ix, iy FROM p12 WHERE n = 4), "
+    # level 12 -> 11
+    "p11 AS (SELECT ix // 2 AS ix, iy // 2 AS iy, count(*) AS n FROM c12 GROUP BY 1, 2), "
+    "k12 AS (SELECT c.ix, c.iy FROM c12 c JOIN p11 p ON c.ix // 2 = p.ix AND c.iy // 2 = p.iy WHERE p.n < 4), "
+    "c11 AS (SELECT ix, iy FROM p11 WHERE n = 4), "
+    # level 11 -> 10
+    "p10 AS (SELECT ix // 2 AS ix, iy // 2 AS iy, count(*) AS n FROM c11 GROUP BY 1, 2), "
+    "k11 AS (SELECT c.ix, c.iy FROM c11 c JOIN p10 p ON c.ix // 2 = p.ix AND c.iy // 2 = p.iy WHERE p.n < 4), "
+    "c10 AS (SELECT ix, iy FROM p10 WHERE n = 4) "
+    f"SELECT 13 * {_RES_K} + ix * {_IX_M} + iy AS cell, CAST(13 AS BIGINT) AS res FROM k13 "
+    f"UNION ALL SELECT 12 * {_RES_K} + ix * {_IX_M} + iy, 12 FROM k12 "
+    f"UNION ALL SELECT 11 * {_RES_K} + ix * {_IX_M} + iy, 11 FROM k11 "
+    f"UNION ALL SELECT 10 * {_RES_K} + ix * {_IX_M} + iy, 10 FROM c10 "
+    "ORDER BY cell"
+)
+
+
+# ---------------------------------------------------------------------------
+# per-user trajectory length
+# ---------------------------------------------------------------------------
+
+
+def q_trajectory_length(sf_dir: str):
+    """Per-user trajectory: order each user's events by time and sum the
+    planar step distances between consecutive points. Users hash into 64
+    buckets; inside each bucket ONE vectorized pass (sort by (user, ts),
+    masked diff at user boundaries) — no per-user UDF calls, the same
+    dispatch-collapse as the bucketed as-of join. Sum rounded 6 dp both
+    sides (engines sum in different orders)."""
+    from fairy_core_ray.pipelines.queries import _key_hash_bucket
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"], split=8)
+
+    def project(t: pa.Table) -> pd.DataFrame:
+        eid = t["event_id"].to_numpy()
+        lon, lat = event_lonlat(eid)
+        uid = t["user_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "bucket": _key_hash_bucket(uid, 64),
+                "user_id": uid,
+                "t_us": t["ts"].to_pandas().astype("datetime64[us]").astype(np.int64),
+                "event_id": eid,
+                "lon": lon,
+                "lat": lat,
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # ts ties broken by event_id so both engines walk the same path
+        g = g.sort_values(["user_id", "t_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        lon, lat = g["lon"].to_numpy(), g["lat"].to_numpy()
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        dlon = np.r_[0.0, np.diff(lon)]
+        dlat = np.r_[0.0, np.diff(lat)]
+        step = np.where(same, np.sqrt(dlon * dlon + dlat * dlat), 0.0)
+        df = pd.DataFrame({"user_id": uid, "step": step})
+        out = df.groupby("user_id", sort=False).agg(
+            n_points=("step", "size"), path_len=("step", "sum")
+        )
+        return out.reset_index()
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n_points"] = out["n_points"].astype(np.int64)
+    out["path_len"] = _round_half_away(out["path_len"].to_numpy(np.float64), 6)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+TRAJECTORY_LENGTH_SQL = (
+    "WITH pts AS (SELECT e.user_id, e.event_id, e.ts, p.lon, p.lat "
+    "FROM events e JOIN (" + EVENT_LONLAT_SQL + ") p USING (event_id)), "
+    "steps AS (SELECT user_id, "
+    "sqrt((lon - lag(lon) OVER w) * (lon - lag(lon) OVER w) "
+    "+ (lat - lag(lat) OVER w) * (lat - lag(lat) OVER w)) AS step "
+    "FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n_points, "
+    "round(coalesce(sum(step), 0), 6) AS path_len "
+    "FROM steps GROUP BY user_id ORDER BY user_id"
+)
+
+
+# ---------------------------------------------------------------------------
+# image dedup survivors (phash clusters -> keep one per cluster)
+# ---------------------------------------------------------------------------
+
+
+def q_image_dedup_survivors(sf_dir: str):
+    """End-to-end perceptual image dedup: phash cluster mining (see
+    q_phash_dup_clusters) -> drop every non-representative member ->
+    stream the corpus through a broadcast membership filter (bucketed
+    above SURVIVOR_KEY_BUDGET — queries_ext._publish_sorted_ids)."""
+    from fairy_core_ray.pipelines.queries_ext import (
+        _member_mask,
+        _publish_sorted_ids,
+    )
+
+    cl = q_phash_dup_clusters(sf_dir)
+    drop = np.sort(cl.loc[cl["id"] != cl["rep"], "id"].to_numpy(np.int64))
+    published = _publish_sorted_ids(drop)
+
+    def keep(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        is_dup = _member_mask(published, did, {})
+        return pa.table({"doc_id": pa.array(did[~is_dup], pa.int64())})
+
+    out = (
+        _t(sf_dir, "documents", ["doc_id"], split=8)
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+IMAGE_DEDUP_SURVIVORS_SQL = (
+    PHASH_DUP_CLUSTERS_SQL.replace(
+        "SELECT id, CAST(least(id, min(r)) AS BIGINT) AS rep FROM reach "
+        "GROUP BY id ORDER BY id",
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+        "(SELECT id FROM (SELECT id, least(id, min(r)) AS rep FROM reach "
+        "GROUP BY id) WHERE id <> rep) ORDER BY doc_id",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # registries (merged into queries.QUERIES / queries.ORACLE)
 # ---------------------------------------------------------------------------
 
@@ -507,6 +705,9 @@ EXT2_QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "event_value_hist": q_event_value_hist,
     "approx_distinct_users": q_approx_distinct_users,
+    "geo_compact_cells": q_geo_compact_cells,
+    "trajectory_length": q_trajectory_length,
+    "image_dedup_survivors": q_image_dedup_survivors,
 }
 
 EXT2_ORACLE = {
@@ -517,6 +718,9 @@ EXT2_ORACLE = {
     "user_daily_gapfill": USER_DAILY_GAPFILL_SQL,
     "latest_event_per_user": LATEST_EVENT_SQL,
     "event_value_hist": EVENT_VALUE_HIST_SQL,
+    "geo_compact_cells": GEO_COMPACT_SQL,
+    "trajectory_length": TRAJECTORY_LENGTH_SQL,
+    "image_dedup_survivors": IMAGE_DEDUP_SURVIVORS_SQL,
     # approx_distinct_users: rows-only — an HLL sketch is not SQL-expressible;
     # error bound + determinism pinned in test_queries_ext2.py
 }
