@@ -21,10 +21,19 @@ pyarrow.compute kernels.
 
 from __future__ import annotations
 
+import zlib
+
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from fairy_core_ray.functions.codecs import FMT_BY_MAGIC, LOSSY_FMTS, DecodeError, decode
+
+# lossy dequantization as a lookup table (identical values to
+# codecs.decode's min(v*4+2, 255) bin-center reconstruction)
+_DEQUANT_LUT = np.minimum(
+    np.arange(256, dtype=np.uint16) * 4 + 2, 255
+).astype(np.uint8)
 
 FMT_ALLOWED = ("jpeg", "png", "webp")
 CTRL_CHAR_REGEX = r"[\t\r\n\x00-\x1f\x7f]"
@@ -89,44 +98,107 @@ class DecodeValidator:
         self.fmt_by_magic = FMT_BY_MAGIC
         self.lossy = LOSSY_FMTS
 
+    @staticmethod
+    def _payload_views(batch: pa.Table):
+        """(offsets, data memoryview) of the ``bytes`` column — per-image
+        payload access without materializing Python bytes objects
+        (to_pylist copies the whole multi-MB binary column per batch)."""
+        va = batch["bytes"].combine_chunks()
+        if isinstance(va, pa.ChunkedArray):  # older pyarrow returns CA
+            va = va.combine_chunks() if va.num_chunks != 1 else va.chunk(0)
+        off_dtype = np.int64 if pa.types.is_large_binary(va.type) else np.int32
+        raw = np.frombuffer(va.buffers()[1], dtype=off_dtype)
+        offs = raw[va.offset : va.offset + len(va) + 1]
+        return offs, memoryview(va.buffers()[2]), va
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        payloads = batch["bytes"].to_pylist()
-        w = batch["w"].to_pylist()
-        h = batch["h"].to_pylist()
-        n = len(payloads)
-        decode_ok = [False] * n
-        dims_match = [False] * n
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        n = len(batch)
+        decode_ok = np.zeros(n, dtype=bool)
+        dims_match = np.zeros(n, dtype=bool)
         mean_rgb = np.zeros((n, 3), dtype=np.float32)
         content_hash = np.zeros(n, dtype=np.int64)
-        for i, payload in enumerate(payloads):
-            if payload is None:
+        if n == 0:
+            batch = batch.append_column("ok_decode_ok", pa.array([], pa.bool_()))
+            batch = batch.append_column("ok_dims_match", pa.array([], pa.bool_()))
+            if self.features and not self.header_only:
+                for name, arr in (
+                    ("mean_r", mean_rgb[:, 0]), ("mean_g", mean_rgb[:, 1]),
+                    ("mean_b", mean_rgb[:, 2]),
+                ):
+                    batch = batch.append_column(name, pa.array(arr, pa.float32()))
+                batch = batch.append_column(
+                    "content_hash", pa.array(content_hash, pa.int64())
+                )
+            return batch
+        offs, mv, _va = self._payload_views(batch)
+        # Per-image work is ONLY the unavoidable parts (header parse +
+        # zlib — opaque per-payload streams); every numpy reduction runs
+        # ONCE per batch over the concatenated pixel buffer. The old
+        # per-image mean/errstate/dequant calls were 60+ us of numpy
+        # dispatch per 3 KB image — over half the decode stage's CPU.
+        # bodies grouped by (byte size, lossy): every numpy reduction
+        # then runs once per SIZE CLASS as a zero-intermediate
+        # reshape-sum — no per-image numpy dispatch (the old path: 60+ us
+        # per 3 KB image) and no corpus-sized cumsum temporaries (an
+        # earlier draft's 100-300 MB/batch of int64 prefix sums thrashed
+        # memory bandwidth under 32-way parallelism)
+        by_class: dict = {}
+        for i in range(n):
+            s, e = int(offs[i]), int(offs[i + 1])
+            if e - s < 8:  # null (s == e) or shorter than the header
                 continue
+            fmt = self.fmt_by_magic.get(bytes(mv[s : s + 4]))
+            if fmt is None:
+                continue
+            pw = int.from_bytes(mv[s + 4 : s + 6], "little")
+            ph = int.from_bytes(mv[s + 6 : s + 8], "little")
             if self.header_only:
-                if len(payload) >= 8 and payload[:4] in self.fmt_by_magic:
-                    decode_ok[i] = True
-                    pw = int.from_bytes(payload[4:6], "little")
-                    ph = int.from_bytes(payload[6:8], "little")
-                    dims_match[i] = pw == w[i] and ph == h[i]
+                decode_ok[i] = True
+                dims_match[i] = pw == w[i] and ph == h[i]
                 continue
             try:
-                pixels, _fmt = decode(payload)
-            except DecodeError:
+                body = zlib.decompress(mv[s + 8 : e])
+            except zlib.error:
+                continue
+            if len(body) != pw * ph * 3:
                 continue
             decode_ok[i] = True
-            dims_match[i] = pixels.shape[0] == h[i] and pixels.shape[1] == w[i]
+            dims_match[i] = ph == h[i] and pw == w[i]
             if self.features:
-                mean_rgb[i] = pixels.reshape(-1, 3).mean(axis=0)
-                # 64-bit content hash over the pixel buffer (xxhash-style
-                # chunked fold, vectorized) — feeds near-dup verification
-                flat = np.frombuffer(
-                    pixels.tobytes()[: (pixels.size // 8) * 8], dtype=np.uint64
+                views, owners = by_class.setdefault(
+                    (len(body), fmt in self.lossy), ([], [])
                 )
-                if len(flat):
+                views.append(np.frombuffer(body, dtype=np.uint8))
+                owners.append(i)
+        if self.features and not self.header_only:
+            gold = np.uint64(0x9E3779B97F4A7C15)
+            for (sz, lossy), (views, owners) in by_class.items():
+                cls = np.concatenate(views)  # (n_cls * sz,) uint8
+                if lossy:
+                    # dequantize to bin centers in one LUT pass
+                    # (identical values to codecs.decode)
+                    cls = _DEQUANT_LUT[cls]
+                own = np.asarray(owners, dtype=np.int64)
+                m = len(own)
+                # channel means: zero-intermediate reshape-sum (exact —
+                # int64 sums of integer pixels, same float64 division)
+                sums = cls.reshape(m, sz // 3, 3).sum(axis=1, dtype=np.int64)
+                mean_rgb[own] = (sums.astype(np.float64) / (sz // 3)).astype(
+                    np.float32
+                )
+                # content hash: modular-u64 fold per row (sum order is
+                # irrelevant mod 2^64, so values match the per-image path)
+                w64 = (sz // 8) * 8
+                if w64:
+                    flat = cls[: m * sz].reshape(m, sz)[:, :w64]
+                    u64 = np.ascontiguousarray(flat).view(np.uint64)
                     with np.errstate(over="ignore"):
-                        acc = (flat * np.uint64(0x9E3779B97F4A7C15)).sum()
-                    content_hash[i] = np.int64(acc >> np.uint64(1))
+                        accs = (u64 * gold).sum(axis=1, dtype=np.uint64)
+                    content_hash[own] = (accs >> np.uint64(1)).astype(np.int64)
         batch = batch.append_column("ok_decode_ok", pa.array(decode_ok, pa.bool_()))
         batch = batch.append_column("ok_dims_match", pa.array(dims_match, pa.bool_()))
         if self.features and not self.header_only:
