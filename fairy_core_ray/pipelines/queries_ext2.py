@@ -693,6 +693,120 @@ IMAGE_DEDUP_SURVIVORS_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# big-big hash-partitioned equi-join
+# ---------------------------------------------------------------------------
+
+
+def q_order_lineitem_join(sf_dir: str):
+    """Revenue per order priority through a TRUE shuffle join: both
+    sides are fact-sized at 100 TB, so neither can broadcast — this is
+    the one join shape the repo's broadcast/asof/range/PIP joins don't
+    cover. Uses Ray Data's native hash join (both sides partition by
+    key hash); the aggregate then folds per-batch partials (5 groups)
+    on the driver."""
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"], split=8)
+    items = _t(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"], split=8
+    )
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    joined = items.join(
+        orders,
+        join_type="inner",
+        num_partitions=max(8, ncpu),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        g = (
+            pd.DataFrame({"o_orderpriority": df["o_orderpriority"], "rev": rev})
+            .groupby("o_orderpriority", sort=False)
+            .agg(p_n=("rev", "size"), p_rev=("rev", "sum"))
+        )
+        return g.reset_index()
+
+    parts = list(
+        joined.map_batches(partial, batch_format="pandas").iter_batches(
+            batch_size=None, batch_format="pandas"
+        )
+    )
+    allp = pd.concat(parts, ignore_index=True)
+    out = (
+        allp.groupby("o_orderpriority", sort=True)
+        .agg(n_items=("p_n", "sum"), revenue=("p_rev", "sum"))
+        .reset_index()
+    )
+    out["n_items"] = out["n_items"].astype(np.int64)
+    out["revenue"] = _round_half_away(out["revenue"].to_numpy(np.float64), 2)
+    return out
+
+
+ORDER_LINEITEM_JOIN_SQL = (
+    "SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, "
+    "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"
+)
+
+
+# ---------------------------------------------------------------------------
+# batched model scoring (actor-pool inference pattern)
+# ---------------------------------------------------------------------------
+
+
+def _model_weights(dim: int) -> np.ndarray:
+    """Deterministic stand-in for trained weights (no model files in
+    this sandbox); inlined verbatim into the SQL oracle via repr."""
+    i = np.arange(1, dim + 1, dtype=np.int64)
+    return ((i * 2654435761) % 1000003) / 1000003.0 - 0.5
+
+
+class LinearScorer:
+    """Actor-pool inference stage: the 'model' loads ONCE per actor in
+    __init__ (the pattern a real checkpoint/tokenizer load follows);
+    __call__ scores a whole batch with one matmul."""
+
+    def __init__(self, weights_ref):
+        self.w = ray.get(weights_ref)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(), "score": X @ self.w})
+
+
+def q_embed_scores(sf_dir: str):
+    """Batched model scoring over the embedding column: broadcast
+    weights, actor-pool map_batches, one matmul per batch. Scores rank
+    on the raw dot product and round to 5 dp for the value compare
+    (both engines agree to ~1e-15)."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"], split=8)
+    first = emb.take(1)
+    if not first:
+        return pd.DataFrame({"vec_id": [], "score": []})
+    dim = len(first[0]["embedding"])
+    wref = ray.put(_model_weights(dim))
+    out = emb.map_batches(
+        LinearScorer,
+        fn_constructor_kwargs={"weights_ref": wref},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    ).to_pandas()
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    out["score"] = _round_half_away(out["score"].to_numpy(np.float64), 5)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _embed_scores_sql() -> str:
+    w = _model_weights(64)
+    lit = "[" + ", ".join(repr(float(x)) for x in w) + "]"
+    return (
+        "SELECT vec_id, round(list_inner_product(CAST(embedding AS DOUBLE[]), "
+        f"{lit}), 5) AS score FROM embeddings ORDER BY vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registries (merged into queries.QUERIES / queries.ORACLE)
 # ---------------------------------------------------------------------------
 
@@ -708,6 +822,8 @@ EXT2_QUERIES = {
     "geo_compact_cells": q_geo_compact_cells,
     "trajectory_length": q_trajectory_length,
     "image_dedup_survivors": q_image_dedup_survivors,
+    "order_lineitem_join": q_order_lineitem_join,
+    "embed_scores": q_embed_scores,
 }
 
 EXT2_ORACLE = {
@@ -721,6 +837,8 @@ EXT2_ORACLE = {
     "geo_compact_cells": GEO_COMPACT_SQL,
     "trajectory_length": TRAJECTORY_LENGTH_SQL,
     "image_dedup_survivors": IMAGE_DEDUP_SURVIVORS_SQL,
+    "order_lineitem_join": ORDER_LINEITEM_JOIN_SQL,
+    "embed_scores": _embed_scores_sql(),
     # approx_distinct_users: rows-only — an HLL sketch is not SQL-expressible;
     # error bound + determinism pinned in test_queries_ext2.py
 }

@@ -1256,15 +1256,134 @@ def embedding_neardup_pairs_lsh(
 # ---------------------------------------------------------------------------
 
 
+# Above this many pairs cluster_pairs auto-routes to the distributed
+# label-propagation path: a driver union-find over O(pairs) Python
+# objects stops being tenable when the verified pair set itself is
+# corpus-sized (adversarial dup rates).
+CLUSTER_DRIVER_PAIR_BUDGET = 5_000_000
+
+
+def cluster_pairs_distributed(
+    pairs,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 64,
+) -> pd.DataFrame:
+    """Connected components via DISTRIBUTED hash-to-min label
+    propagation (Rastogi et al. 2013 shape): every node starts labeled
+    with itself; each round every node's label flows across its edges
+    and each node keeps the minimum seen. Labels are monotonically
+    non-increasing, so the global label sum strictly decreases until
+    the fixpoint — that sum is the O(1) convergence test. Rounds are
+    two shuffles each (message emission inside ``groupby(node)``, then
+    ``groupby(id).min``); round count is the component diameter
+    (near-dup blobs: 1-3). No driver state beyond the loop counter —
+    the (id, rep) result is returned as the fold of the final labels.
+
+    Accepts a pandas pair frame or a Dataset of (id_a, id_b) rows."""
+    if isinstance(pairs, pd.DataFrame):
+        src = np.r_[pairs[id_a].to_numpy(), pairs[id_b].to_numpy()]
+        dst = np.r_[pairs[id_b].to_numpy(), pairs[id_a].to_numpy()]
+        edges = rd.from_pandas(pd.DataFrame({"node": src, "nbr": dst}))
+    else:
+        edges = pairs.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "node": np.r_[df[id_a].to_numpy(), df[id_b].to_numpy()],
+                    "nbr": np.r_[df[id_b].to_numpy(), df[id_a].to_numpy()],
+                }
+            ),
+            batch_format="pandas",
+        )
+    edges = edges.materialize()
+    if not edges.count():
+        return pd.DataFrame({"id": [], "rep": []})
+    # round 0 fuses init+step: label(v) = min(v, neighbors(v))
+    labels = (
+        edges.groupby("node")
+        .aggregate(rd.aggregate.Min("nbr", alias_name="lbl"))
+        .map_batches(
+            lambda df: df.assign(
+                lbl=np.minimum(df["node"].to_numpy(), df["lbl"].to_numpy())
+            ),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    # union schema: (node, nbr, lbl) with int64 sentinel -1 on the side
+    # that lacks the column (ids assumed non-negative; sentinels keep
+    # everything int64 — a NaN-float label would silently lose exactness
+    # above 2^53 ids at corpus scale)
+    def _as_label_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df["node"].to_numpy(),
+                "nbr": np.full(len(df), -1, np.int64),
+                "lbl": df["lbl"].to_numpy(),
+            }
+        )
+
+    def _as_edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df["node"].to_numpy(),
+                "nbr": df["nbr"].to_numpy(),
+                "lbl": np.full(len(df), -1, np.int64),
+            }
+        )
+
+    edge_rows = edges.map_batches(_as_edge_rows, batch_format="pandas").materialize()
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        # one co-located group per node: its single label row (lbl >= 0)
+        # + edge rows; forward the label to every neighbor + keep it
+        lbl = g["lbl"].max()
+        nbrs = g.loc[g["nbr"] >= 0, "nbr"].to_numpy()
+        return pd.DataFrame(
+            {
+                "node": np.r_[nbrs, [g["node"].iloc[0]]],
+                "lbl": np.r_[np.full(len(nbrs), lbl, np.int64), [lbl]],
+            }
+        )
+
+    prev_sum = None
+    for _ in range(max_iters):
+        cur_sum = labels.sum("lbl")
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        tagged = labels.map_batches(_as_label_rows, batch_format="pandas").union(
+            edge_rows
+        )
+        labels = (
+            tagged.groupby("node")
+            .map_groups(emit, batch_format="pandas")
+            .groupby("node")
+            .aggregate(rd.aggregate.Min("lbl", alias_name="lbl"))
+            .materialize()
+        )
+    out = labels.to_pandas()
+    out = pd.DataFrame(
+        {"id": out["node"].to_numpy(), "rep": out["lbl"].to_numpy()}
+    )
+    if len(out):
+        out["rep"] = out["rep"].astype(out["id"].dtype)
+    return out.sort_values("id").reset_index(drop=True)
+
+
 def cluster_pairs(pairs: pd.DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> pd.DataFrame:
     """Connected components over a verified near-dup pair set →
     (id, rep) with rep = the minimum id of the component — the canonical
     keep-one-per-cluster step after pair mining.
 
-    Union-find runs on the driver: the VERIFIED pair set is the tiny
-    output of the miners (bounded by bucket guards), not corpus-sized —
-    the distributed work already happened upstream. Path compression +
+    Union-find runs on the driver below CLUSTER_DRIVER_PAIR_BUDGET: the
+    VERIFIED pair set is normally the tiny output of the miners (bounded
+    by bucket guards), not corpus-sized — the distributed work already
+    happened upstream. Above the budget (adversarial dup rates) the call
+    auto-routes to ``cluster_pairs_distributed``. Path compression +
     union by rank; deterministic output sorted by id."""
+    if len(pairs) > CLUSTER_DRIVER_PAIR_BUDGET:
+        return cluster_pairs_distributed(pairs, id_a, id_b)
     parent: dict = {}
 
     def find(x):

@@ -579,3 +579,44 @@ class TestIvfRandomTraining:
         out = knn_mod.ivf_cosine_ann(ds, np.ones((1, 4)), [0], k=3)
         assert len(out) == 0
         assert list(out.columns) == ["query_id", "neighbor_id", "cosine"]
+
+
+class TestClusterPairsDistributed:
+    """Label-propagation connected components == driver union-find."""
+
+    def _edges(self):
+        rng = np.random.default_rng(5)
+        edges = [(i, i + 1) for i in range(100, 108)]  # chain (diameter 8)
+        edges += [(200, x) for x in range(201, 210)]  # star
+        edges += [(a, b) for a in range(300, 305) for b in range(a + 1, 305)]
+        edges += [(400, 401), (402, 403)]  # isolated pairs
+        rnd = rng.integers(500, 560, size=(40, 2))
+        edges += [(int(a), int(b)) for a, b in rnd if a != b]
+        return pd.DataFrame(
+            {"id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]}
+        )
+
+    def test_matches_union_find(self, ray_session):
+        pairs = self._edges()
+        want = dd.cluster_pairs(pairs)
+        got = dd.cluster_pairs_distributed(pairs)
+        assert want.reset_index(drop=True).equals(got.reset_index(drop=True))
+
+    def test_auto_route_above_budget(self, ray_session, monkeypatch):
+        pairs = self._edges()
+        want = dd.cluster_pairs(pairs)
+        monkeypatch.setattr(dd, "CLUSTER_DRIVER_PAIR_BUDGET", 2)
+        got = dd.cluster_pairs(pairs)  # routes through label propagation
+        assert want.reset_index(drop=True).equals(got.reset_index(drop=True))
+
+    def test_dataset_input_and_empty(self, ray_session):
+        import ray.data as rd
+
+        pairs = self._edges()
+        got = dd.cluster_pairs_distributed(rd.from_pandas(pairs).repartition(4))
+        want = dd.cluster_pairs(pairs)
+        assert want.reset_index(drop=True).equals(got.reset_index(drop=True))
+        empty = dd.cluster_pairs_distributed(
+            pd.DataFrame({"id_a": [], "id_b": []})
+        )
+        assert len(empty) == 0
