@@ -807,6 +807,68 @@ def _embed_scores_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# windowed grouped top-k (top users per hourly window)
+# ---------------------------------------------------------------------------
+
+_WIN_S = 3600
+_WIN_TOPK = 3
+
+
+def q_window_top_users(sf_dir: str):
+    """Top-3 users per hourly window by event count — the windowed
+    grouped top-k shape (trending-items). Top-k by COUNT cannot use
+    per-batch partial top-k (counts aren't complete until the window's
+    groupby folds), so it is exactly two stages: per-batch (win, user)
+    count partials into one distributed sum-groupby, then a per-window
+    top-k in ``map_groups`` (window count is bounded: hours, not rows).
+    Ties break on smaller user_id in both engines."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"], split=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        win = (
+            df["ts"].astype("datetime64[us]").astype(np.int64)
+            // 1_000_000
+            // _WIN_S
+        ) * _WIN_S
+        g = (
+            pd.DataFrame({"win_start": win, "user_id": df["user_id"].to_numpy()})
+            .groupby(["win_start", "user_id"], sort=False)
+            .size()
+            .rename("p_n")
+        )
+        return g.reset_index()
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["n_events", "user_id"], ascending=[False, True], kind="mergesort"
+        )
+        return g.head(_WIN_TOPK)
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["win_start", "user_id"])
+        .aggregate(rd.aggregate.Sum("p_n", alias_name="n_events"))
+        .groupby("win_start")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out["win_start"] = out["win_start"].astype(np.int64)
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out.sort_values(["win_start", "user_id"]).reset_index(drop=True)
+
+
+WINDOW_TOP_USERS_SQL = (
+    "WITH c AS (SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS win_start, "
+    "user_id, CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2) "
+    "SELECT win_start, user_id, n_events FROM c "
+    "QUALIFY row_number() OVER (PARTITION BY win_start "
+    f"ORDER BY n_events DESC, user_id) <= {_WIN_TOPK} "
+    "ORDER BY win_start, user_id"
+)
+
+
+# ---------------------------------------------------------------------------
 # registries (merged into queries.QUERIES / queries.ORACLE)
 # ---------------------------------------------------------------------------
 
@@ -824,6 +886,7 @@ EXT2_QUERIES = {
     "image_dedup_survivors": q_image_dedup_survivors,
     "order_lineitem_join": q_order_lineitem_join,
     "embed_scores": q_embed_scores,
+    "window_top_users": q_window_top_users,
 }
 
 EXT2_ORACLE = {
@@ -839,6 +902,7 @@ EXT2_ORACLE = {
     "image_dedup_survivors": IMAGE_DEDUP_SURVIVORS_SQL,
     "order_lineitem_join": ORDER_LINEITEM_JOIN_SQL,
     "embed_scores": _embed_scores_sql(),
+    "window_top_users": WINDOW_TOP_USERS_SQL,
     # approx_distinct_users: rows-only — an HLL sketch is not SQL-expressible;
     # error bound + determinism pinned in test_queries_ext2.py
 }
