@@ -148,3 +148,68 @@ def test_hll_partial_merge_associative():
     n_exact = len(np.unique(keys))
     err = abs(qx2.hll_estimate(whole) - n_exact) / n_exact
     assert err < 3 * 1.04 / np.sqrt(qx2._HLL_M)
+
+
+def test_compact_expansion_identity_and_minimality(ray_session):
+    """compacted set must (a) expand back to exactly the input leaf
+    cells and (b) contain no complete 4-sibling group above the floor
+    resolution (else it wasn't minimal)."""
+    out = qx2.q_geo_compact_cells(SF)
+    K, M = qx2._RES_K, qx2._IX_M
+    # expand every output cell to res-13 leaves
+    leaves = set()
+    for cell, res in zip(out["cell"], out["res"]):
+        ix, iy = (cell % K) // M, cell % M
+        span = 1 << (13 - res)
+        for dx in range(span):
+            for dy in range(span):
+                leaves.add((ix * span + dx, iy * span + dy))
+    # ground truth leaves from the raw points
+    import duckdb
+
+    pts = duckdb.sql(
+        f"SELECT event_id FROM '{SF}/events.parquet'"
+    ).df()["event_id"].to_numpy()
+    from fairy_core_ray.pipelines.queries import event_lonlat
+
+    lon, lat = event_lonlat(pts)
+    ix = np.floor((lon + 180.0) / 360.0 * 8192).astype(np.int64)
+    iy = np.floor((lat + 90.0) / 180.0 * 8192).astype(np.int64)
+    assert leaves == set(zip(ix.tolist(), iy.tolist()))
+    # minimality above the floor
+    df = out[out["res"] > qx2._COMPACT_TO]
+    ixs, iys = (df["cell"] % K) // M, df["cell"] % M
+    sib = pd.DataFrame(
+        {"res": df["res"], "px": ixs // 2, "py": iys // 2}
+    ).groupby(["res", "px", "py"]).size()
+    assert (sib < 4).all()
+
+
+def test_gapfill_conserves_event_counts(ray_session):
+    import duckdb
+
+    out = qx2.q_user_daily_gapfill(SF)
+    want = duckdb.sql(
+        f"SELECT user_id, count(*) n FROM '{SF}/events.parquet' GROUP BY 1"
+    ).df().set_index("user_id")["n"]
+    got = out.groupby("user_id")["n_events"].sum()
+    assert got.sort_index().equals(want.sort_index().astype(got.dtype))
+
+
+def test_trajectory_matches_bruteforce(ray_session):
+    import duckdb
+
+    out = qx2.q_trajectory_length(SF).set_index("user_id")
+    ev = duckdb.sql(
+        f"SELECT user_id, event_id, ts FROM '{SF}/events.parquet'"
+    ).df()
+    from fairy_core_ray.pipelines.queries import event_lonlat
+
+    lon, lat = event_lonlat(ev["event_id"].to_numpy())
+    ev = ev.assign(lon=lon, lat=lat).sort_values(["user_id", "ts", "event_id"])
+    for uid, g in ev.groupby("user_id"):
+        d = np.sqrt(
+            np.diff(g["lon"].to_numpy()) ** 2 + np.diff(g["lat"].to_numpy()) ** 2
+        ).sum()
+        assert abs(out.loc[uid, "path_len"] - d) < 1e-5
+        assert out.loc[uid, "n_points"] == len(g)
