@@ -764,9 +764,24 @@ def q_tpch_q6(sf_dir: str):
         rev = float((t["l_extendedprice"].to_numpy()[m] * disc[m]).sum())
         return pa.table({"p": pa.array([rev], pa.float64())})
 
+    import os as _os
+
+    import pyarrow.dataset as _pads
+
+    # row-group predicate pushdown at the READ: pyarrow prunes row
+    # groups whose shipdate statistics fall outside the window before
+    # any byte leaves storage (the exact per-batch predicate still
+    # applies — the pushdown is a superset prune)
+    src = rd.read_parquet(
+        _os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=(
+            (_pads.field("l_shipdate") >= pa.scalar(pd.Timestamp(lo)))
+            & (_pads.field("l_shipdate") < pa.scalar(pd.Timestamp(hi)))
+        ),
+    )
     parts = (
-        _t(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
-        .map_batches(partial, batch_format="pyarrow")
+        src.map_batches(partial, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")
     )
     total = sum(float(np.sum(b["p"].to_numpy())) for b in parts)
