@@ -32,6 +32,31 @@ import numpy as np
 MAGIC_BY_FMT = {"png": b"FPNG", "jpeg": b"FJPG", "webp": b"FWBP"}
 FMT_BY_MAGIC = {v: k for k, v in MAGIC_BY_FMT.items()}
 LOSSY_FMTS = frozenset({"jpeg", "webp"})
+HEADER_LEN = 8
+
+# lossy dequantization to bin centers as a LUT (reconstruction error in
+# [-2, 1]); the ONE definition both decode() and the batched validator
+# stage use — swapping in a real codec changes only this module
+DEQUANT_LUT = np.minimum(np.arange(256, dtype=np.uint16) * 4 + 2, 255).astype(
+    np.uint8
+)
+
+
+def parse_header(buf) -> tuple[str | None, int, int]:
+    """(fmt, w, h) of a stub payload header; (None, 0, 0) when the
+    buffer is shorter than HEADER_LEN or the magic is unknown. Accepts
+    bytes or memoryview — the shared header contract for decode() and
+    the batch validator."""
+    if len(buf) < HEADER_LEN:
+        return None, 0, 0
+    fmt = FMT_BY_MAGIC.get(bytes(buf[:4]))
+    if fmt is None:
+        return None, 0, 0
+    return (
+        fmt,
+        int.from_bytes(buf[4:6], "little"),
+        int.from_bytes(buf[6:8], "little"),
+    )
 
 
 class DecodeError(ValueError):
@@ -58,24 +83,20 @@ def decode(payload: bytes) -> tuple[np.ndarray, str]:
     Raises DecodeError on truncation, bad magic, or size mismatch — the
     analogue of a corrupt jpeg.
     """
-    if len(payload) < 8:
-        raise DecodeError("payload shorter than header")
-    magic, payload_rest = payload[:4], payload[8:]
-    fmt = FMT_BY_MAGIC.get(magic)
+    fmt, w, h = parse_header(payload)
     if fmt is None:
-        raise DecodeError(f"bad magic {magic!r}")
-    w = int.from_bytes(payload[4:6], "little")
-    h = int.from_bytes(payload[6:8], "little")
+        if len(payload) < HEADER_LEN:
+            raise DecodeError("payload shorter than header")
+        raise DecodeError(f"bad magic {payload[:4]!r}")
     try:
-        body = zlib.decompress(payload_rest)
+        body = zlib.decompress(payload[HEADER_LEN:])
     except zlib.error as exc:  # truncated / corrupted stream
         raise DecodeError(f"zlib: {exc}") from exc
     if len(body) != w * h * 3:
         raise DecodeError(f"size mismatch: {len(body)} != {w}*{h}*3")
     arr = np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
     if fmt in LOSSY_FMTS:
-        # dequantize to bin centers; reconstruction error in [-2, 1]
-        arr = np.minimum(arr.astype(np.uint16) * 4 + 2, 255).astype(np.uint8)
+        arr = DEQUANT_LUT[arr]
     return arr, fmt
 
 

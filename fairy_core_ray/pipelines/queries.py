@@ -672,7 +672,11 @@ def q_geo_tile_hist(sf_dir: str):
             batch_size=None, batch_format="pandas"
         )
     )
-    allp = pd.concat(parts, ignore_index=True)
+    allp = (
+        pd.concat(parts, ignore_index=True)
+        if parts
+        else pd.DataFrame({"tile_id": pd.Series([], dtype=str), "partial_n": pd.Series([], dtype=np.int64)})
+    )
     out = (
         allp.groupby("tile_id", sort=True)["partial_n"].sum().reset_index()
         .rename(columns={"partial_n": "n_points"})

@@ -190,6 +190,14 @@ def q_bloom_semijoin(sf_dir: str):
         .map_batches(agg, batch_format="pandas")
         .iter_batches(batch_size=None, batch_format="pandas")
     )
+    if not parts:
+        return pd.DataFrame(
+            {
+                "l_returnflag": pd.Series([], dtype=str),
+                "n_items": pd.Series([], dtype=np.int64),
+                "sum_qty": pd.Series([], dtype=np.float64),
+            }
+        )
     allp = pd.concat(parts, ignore_index=True)
     out = (
         allp.groupby("l_returnflag", sort=True)
@@ -415,6 +423,10 @@ def q_event_value_hist(sf_dir: str):
             batch_size=None, batch_format="pandas"
         )
     )
+    if not parts:
+        return pd.DataFrame(
+            {"bin": pd.Series([], dtype=np.int64), "n": pd.Series([], dtype=np.int64)}
+        )
     allp = pd.concat(parts, ignore_index=True)
     out = allp.groupby("bin", sort=True)["n"].sum().reset_index()
     out["bin"] = out["bin"].astype(np.int64)
@@ -731,6 +743,14 @@ def q_order_lineitem_join(sf_dir: str):
             batch_size=None, batch_format="pandas"
         )
     )
+    if not parts:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": pd.Series([], dtype=str),
+                "n_items": pd.Series([], dtype=np.int64),
+                "revenue": pd.Series([], dtype=np.float64),
+            }
+        )
     allp = pd.concat(parts, ignore_index=True)
     out = (
         allp.groupby("o_orderpriority", sort=True)

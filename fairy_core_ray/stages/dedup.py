@@ -68,7 +68,11 @@ NGRAM_BROADCAST_DOCS = 20_000_000
 
 
 def _collided_counts(
-    partials, keys: list[str], max_bucket: int, n_docs: int | None
+    partials,
+    keys: list[str],
+    max_bucket: int,
+    n_docs: int | None,
+    keep_oversized: bool = False,
 ) -> pd.DataFrame:
     """Bucket-count rows restricted to 1 < n <= max_bucket, folded on
     the driver below SKETCH_FOLD_DRIVER_DOCS and via a distributed
@@ -78,11 +82,14 @@ def _collided_counts(
     if n_docs is not None and n_docs > SKETCH_FOLD_DRIVER_DOCS:
         agg = partials.groupby(keys).aggregate(rd.aggregate.Sum("n", alias_name="n"))
         dup = agg.filter(expr="n > 1").to_pandas()
-        return dup[dup["n"] <= max_bucket]
+        return dup if keep_oversized else dup[dup["n"] <= max_bucket]
     folded = _fold_counts(partials, keys)
     if folded.empty:
         return folded
-    return folded[(folded["n"] > 1) & (folded["n"] <= max_bucket)]
+    keep = folded["n"] > 1
+    if not keep_oversized:
+        keep &= folded["n"] <= max_bucket
+    return folded[keep]
 
 
 def _fold_counts(ds_partials, keys: list[str]) -> pd.DataFrame:
@@ -262,16 +269,23 @@ def _combine_band_key(band: np.ndarray, bh: np.ndarray) -> np.ndarray:
 SMALL_SKETCH_DOCS = 500_000
 
 
-def _filter_buckets(sk: pd.DataFrame, max_bucket: int) -> tuple[pd.DataFrame, np.ndarray]:
+def _filter_buckets(
+    sk: pd.DataFrame, max_bucket: int, keep_oversized: bool = False
+) -> tuple[pd.DataFrame, np.ndarray]:
     """Keep sketch rows in buckets of size in (1, max_bucket]; returns
-    (filtered rows, their combined bucket key), both bucket-sorted."""
+    (filtered rows, their combined bucket key), both bucket-sorted.
+    ``keep_oversized`` passes buckets ABOVE the cap through as well —
+    for callers whose per-bucket verifier applies its own guard with
+    identical-hash star handling (the simhash/phash paths)."""
     comb = _combine_band_key(sk["band"].to_numpy(np.int64), sk["bh"].to_numpy(np.int64))
     order = np.argsort(comb, kind="stable")
     comb = comb[order]
     starts = np.flatnonzero(np.r_[True, comb[1:] != comb[:-1]])
     sizes = np.diff(np.r_[starts, len(comb)])
     per_row_size = np.repeat(sizes, sizes)
-    keep = (per_row_size > 1) & (per_row_size <= max_bucket)
+    keep = per_row_size > 1
+    if not keep_oversized:
+        keep &= per_row_size <= max_bucket
     return sk.iloc[order[keep]], comb[keep]
 
 
@@ -686,9 +700,25 @@ def _simhash_bucket_rows(
     over the hot-bucket guard."""
     bid, first_idx = np.unique(ids, return_index=True)
     m = len(bid)
-    if m < 2 or len(ids) > max_bucket:
+    if m < 2:
         return None
     bsh = sh[first_idx]
+    if len(ids) > max_bucket:
+        # hot-bucket guard — EXCEPT the all-identical-hash case: exact
+        # duplicates (boilerplate docs, byte-identical images) land in
+        # ONE bucket in every band, so dropping it would lose precisely
+        # the most-duplicated item. Identical hashes connect as a STAR
+        # to the min id (hamming 0): linear output, and downstream
+        # connected components see the same clusters as the full
+        # O(n^2) clique would produce. Mixed oversized buckets still
+        # drop (the documented guard).
+        if (bsh == bsh[0]).all():
+            return (
+                np.full(m - 1, bid[0]),
+                bid[1:],
+                np.zeros(m - 1, np.int64),
+            )
+        return None
     D = hamming64(bsh[:, None], bsh[None, :])
     iu, ju = np.triu_indices(m, 1)
     d = D[iu, ju]
@@ -754,8 +784,12 @@ def simhash_pairs(
         n_docs = None
     if n_docs is not None and n_docs <= SMALL_SKETCH_DOCS:
         # small path: per-bucket vectorized verification on the driver —
-        # one popcount matrix per bucket over the tiny sketch table
-        sk, comb = _filter_buckets(sketch_ds.to_pandas(), max_bucket)
+        # one popcount matrix per bucket over the tiny sketch table.
+        # Oversized buckets flow through: _simhash_bucket_rows applies
+        # the guard, with identical-hash star handling (exact dups).
+        sk, comb = _filter_buckets(
+            sketch_ds.to_pandas(), max_bucket, keep_oversized=True
+        )
         ids_all, sh_all = sk["id"].to_numpy(), sk["sh"].to_numpy(np.int64)
         starts, ends = _bucket_bounds(comb)
         hams: dict[tuple, int] = {}
@@ -777,7 +811,11 @@ def simhash_pairs(
         lambda df: df.groupby(["band", "bh"], sort=False).size().rename("n").reset_index(),
         batch_format="pandas",
     )
-    counts = _collided_counts(partials, ["band", "bh"], max_bucket, n_docs)
+    # keep_oversized: hot buckets shuffle through (O(rows), not pairs)
+    # so the map_groups verifier can star-connect identical-hash groups
+    counts = _collided_counts(
+        partials, ["band", "bh"], max_bucket, n_docs, keep_oversized=True
+    )
     if counts.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
     collided = np.sort(
@@ -830,8 +868,12 @@ def hamming_band_pairs(
 
     Pigeonhole-exact for ``max_hamming <= 3``: any pair within Hamming 3
     of a 64-bit word shares at least one of the 4 disjoint 16-bit bands,
-    so banded candidates have 100% recall (buckets over ``max_bucket``
-    are dropped — the standard hot-key guard). Unlike ``simhash_pairs``
+    so banded candidates have 100% recall UP TO the hot-key guard:
+    mixed buckets over ``max_bucket`` are dropped, while
+    identical-hash buckets over the guard (exact duplicates — the
+    most common image-dedup case) emit linear STAR pairs to the min id
+    so cluster connectivity survives without O(n²) output. Unlike
+    ``simhash_pairs``
     this takes the sketch as input, so it is the dedup primitive for
     modalities whose fingerprint is computed upstream (image phash,
     audio chromaprint). The shuffle moves 4 small rows per input row;
@@ -1263,6 +1305,10 @@ def embedding_neardup_pairs_lsh(
 CLUSTER_DRIVER_PAIR_BUDGET = 5_000_000
 
 
+def _int_ids_ok(arr: np.ndarray) -> bool:
+    return arr.dtype.kind in "iu" and (not len(arr) or int(arr.min()) >= 0)
+
+
 def cluster_pairs_distributed(
     pairs,
     id_a: str = "id_a",
@@ -1270,34 +1316,55 @@ def cluster_pairs_distributed(
     max_iters: int = 64,
 ) -> pd.DataFrame:
     """Connected components via DISTRIBUTED hash-to-min label
-    propagation (Rastogi et al. 2013 shape): every node starts labeled
-    with itself; each round every node's label flows across its edges
-    and each node keeps the minimum seen. Labels are monotonically
-    non-increasing, so the global label sum strictly decreases until
-    the fixpoint — that sum is the O(1) convergence test. Rounds are
-    two shuffles each (message emission inside ``groupby(node)``, then
-    ``groupby(id).min``); round count is the component diameter
-    (near-dup blobs: 1-3). No driver state beyond the loop counter —
-    the (id, rep) result is returned as the fold of the final labels.
+    propagation with POINTER JUMPING: every node starts labeled with
+    itself; each round every node's label (a) flows across its edges
+    and (b) shortcuts to its label's label (lbl <- lbl[lbl], the
+    doubling trick), so convergence takes O(log diameter) rounds — a
+    10^6-hop chain converges in ~20, not 10^6. Every step is a
+    vectorized hash join / groupby-min (no per-node UDF calls). Labels
+    are monotonically non-increasing, so the global label sum strictly
+    decreases until the fixpoint — the O(1) convergence test. If
+    ``max_iters`` rounds pass without convergence the call RAISES
+    rather than returning silently fractured components.
 
-    Accepts a pandas pair frame or a Dataset of (id_a, id_b) rows."""
+    Ids must be NON-NEGATIVE INTEGERS (validated; the driver union-find
+    path in ``cluster_pairs`` handles arbitrary hashables). Accepts a
+    pandas pair frame or a Dataset of (id_a, id_b) rows."""
+
+    def _validated(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+        if not len(a) and not len(b):  # empty input: dtype is moot
+            return pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype=np.int64),
+                    "nbr": pd.Series([], dtype=np.int64),
+                }
+            )
+        if not (_int_ids_ok(a) and _int_ids_ok(b)):
+            raise ValueError(
+                "cluster_pairs_distributed requires non-negative integer ids "
+                f"(got dtypes {a.dtype}/{b.dtype}); use cluster_pairs for "
+                "arbitrary hashable ids"
+            )
+        return pd.DataFrame(
+            {
+                "node": np.r_[a, b].astype(np.int64),
+                "nbr": np.r_[b, a].astype(np.int64),
+            }
+        )
+
     if isinstance(pairs, pd.DataFrame):
-        src = np.r_[pairs[id_a].to_numpy(), pairs[id_b].to_numpy()]
-        dst = np.r_[pairs[id_b].to_numpy(), pairs[id_a].to_numpy()]
-        edges = rd.from_pandas(pd.DataFrame({"node": src, "nbr": dst}))
+        edges = rd.from_pandas(
+            _validated(pairs[id_a].to_numpy(), pairs[id_b].to_numpy())
+        )
     else:
         edges = pairs.map_batches(
-            lambda df: pd.DataFrame(
-                {
-                    "node": np.r_[df[id_a].to_numpy(), df[id_b].to_numpy()],
-                    "nbr": np.r_[df[id_b].to_numpy(), df[id_a].to_numpy()],
-                }
-            ),
+            lambda df: _validated(df[id_a].to_numpy(), df[id_b].to_numpy()),
             batch_format="pandas",
         )
     edges = edges.materialize()
     if not edges.count():
         return pd.DataFrame({"id": [], "rep": []})
+    nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
     # round 0 fuses init+step: label(v) = min(v, neighbors(v))
     labels = (
         edges.groupby("node")
@@ -1310,64 +1377,60 @@ def cluster_pairs_distributed(
         )
         .materialize()
     )
-    # union schema: (node, nbr, lbl) with int64 sentinel -1 on the side
-    # that lacks the column (ids assumed non-negative; sentinels keep
-    # everything int64 — a NaN-float label would silently lose exactness
-    # above 2^53 ids at corpus scale)
-    def _as_label_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "node": df["node"].to_numpy(),
-                "nbr": np.full(len(df), -1, np.int64),
-                "lbl": df["lbl"].to_numpy(),
-            }
-        )
-
-    def _as_edge_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "node": df["node"].to_numpy(),
-                "nbr": df["nbr"].to_numpy(),
-                "lbl": np.full(len(df), -1, np.int64),
-            }
-        )
-
-    edge_rows = edges.map_batches(_as_edge_rows, batch_format="pandas").materialize()
-
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        # one co-located group per node: its single label row (lbl >= 0)
-        # + edge rows; forward the label to every neighbor + keep it
-        lbl = g["lbl"].max()
-        nbrs = g.loc[g["nbr"] >= 0, "nbr"].to_numpy()
-        return pd.DataFrame(
-            {
-                "node": np.r_[nbrs, [g["node"].iloc[0]]],
-                "lbl": np.r_[np.full(len(nbrs), lbl, np.int64), [lbl]],
-            }
-        )
-
     prev_sum = None
     for _ in range(max_iters):
         cur_sum = labels.sum("lbl")
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-        tagged = labels.map_batches(_as_label_rows, batch_format="pandas").union(
-            edge_rows
+        # (a) edge propagation: ship each node's label to its neighbors
+        msgs = (
+            edges.join(labels, join_type="inner", num_partitions=nparts, on=("node",))
+            .map_batches(
+                lambda df: pd.DataFrame(
+                    {"node": df["nbr"].to_numpy(), "lbl": df["lbl"].to_numpy()}
+                ),
+                batch_format="pandas",
+            )
+        )
+        # (b) pointer jump: lbl <- lbl[lbl] (label-of-label)
+        lhs = labels.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["node"].to_numpy(), "pkey": df["lbl"].to_numpy()}
+            ),
+            batch_format="pandas",
+        )
+        rhs = labels.map_batches(
+            lambda df: pd.DataFrame(
+                {"pkey": df["node"].to_numpy(), "plbl": df["lbl"].to_numpy()}
+            ),
+            batch_format="pandas",
+        )
+        short = lhs.join(
+            rhs, join_type="inner", num_partitions=nparts, on=("pkey",)
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["node"].to_numpy(), "lbl": df["plbl"].to_numpy()}
+            ),
+            batch_format="pandas",
         )
         labels = (
-            tagged.groupby("node")
-            .map_groups(emit, batch_format="pandas")
+            labels.union(msgs)
+            .union(short)
             .groupby("node")
             .aggregate(rd.aggregate.Min("lbl", alias_name="lbl"))
             .materialize()
+        )
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge within {max_iters} rounds "
+            "(pointer jumping covers diameters up to ~2^rounds — this "
+            "indicates a bug or pathological input, not a tuning issue)"
         )
     out = labels.to_pandas()
     out = pd.DataFrame(
         {"id": out["node"].to_numpy(), "rep": out["lbl"].to_numpy()}
     )
-    if len(out):
-        out["rep"] = out["rep"].astype(out["id"].dtype)
     return out.sort_values("id").reset_index(drop=True)
 
 
@@ -1380,9 +1443,16 @@ def cluster_pairs(pairs: pd.DataFrame, id_a: str = "id_a", id_b: str = "id_b") -
     VERIFIED pair set is normally the tiny output of the miners (bounded
     by bucket guards), not corpus-sized — the distributed work already
     happened upstream. Above the budget (adversarial dup rates) the call
-    auto-routes to ``cluster_pairs_distributed``. Path compression +
-    union by rank; deterministic output sorted by id."""
-    if len(pairs) > CLUSTER_DRIVER_PAIR_BUDGET:
+    auto-routes to ``cluster_pairs_distributed`` when the ids qualify
+    (non-negative integers — the distributed path's domain); other id
+    types stay on the driver path, which handles arbitrary hashables.
+    Path compression + union by rank; deterministic output sorted by
+    id."""
+    if (
+        len(pairs) > CLUSTER_DRIVER_PAIR_BUDGET
+        and _int_ids_ok(np.asarray(pairs[id_a].to_numpy()))
+        and _int_ids_ok(np.asarray(pairs[id_b].to_numpy()))
+    ):
         return cluster_pairs_distributed(pairs, id_a, id_b)
     parent: dict = {}
 

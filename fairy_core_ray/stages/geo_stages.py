@@ -94,11 +94,21 @@ def make_pip_join_fn(polys_ref, nx: int = 64, ny: int = 64):
     actor-pool spawn (~2 s fixed per query at 32 CPUs) and scales to
     every free CPU instead of a fixed pool size. Use the actor form
     when the stage holds per-actor mutable state beyond the index."""
-    key = polys_ref.hex() if hasattr(polys_ref, "hex") else str(id(polys_ref))
+    if hasattr(polys_ref, "hex"):
+        ref_key = polys_ref.hex()  # ObjectRef ids are globally unique
+    else:
+        # plain list: key by CONTENT, not id() — a freed list's address
+        # can be reused, which would silently serve a stale index
+        import hashlib
+
+        ref_key = hashlib.sha256(repr(polys_ref).encode()).hexdigest()
+    key = (ref_key, nx, ny)
 
     def pip_join(batch: pa.Table) -> pa.Table:
         st = _PIP_STATE_CACHE.get(key)
         if st is None:
+            if len(_PIP_STATE_CACHE) >= 16:  # bound per-worker memory
+                _PIP_STATE_CACHE.pop(next(iter(_PIP_STATE_CACHE)))
             st = _PIP_STATE_CACHE[key] = _build_pip_state(polys_ref, nx, ny)
         return _pip_join_batch(batch, st[0], st[1])
 

@@ -27,13 +27,15 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from fairy_core_ray.functions.codecs import FMT_BY_MAGIC, LOSSY_FMTS, DecodeError, decode
-
-# lossy dequantization as a lookup table (identical values to
-# codecs.decode's min(v*4+2, 255) bin-center reconstruction)
-_DEQUANT_LUT = np.minimum(
-    np.arange(256, dtype=np.uint16) * 4 + 2, 255
-).astype(np.uint8)
+from fairy_core_ray.functions.codecs import (
+    DEQUANT_LUT,
+    FMT_BY_MAGIC,
+    HEADER_LEN,
+    LOSSY_FMTS,
+    DecodeError,
+    decode,
+    parse_header,
+)
 
 FMT_ALLOWED = ("jpeg", "png", "webp")
 CTRL_CHAR_REGEX = r"[\t\r\n\x00-\x1f\x7f]"
@@ -109,7 +111,15 @@ class DecodeValidator:
         off_dtype = np.int64 if pa.types.is_large_binary(va.type) else np.int32
         raw = np.frombuffer(va.buffers()[1], dtype=off_dtype)
         offs = raw[va.offset : va.offset + len(va) + 1]
-        return offs, memoryview(va.buffers()[2]), va
+        # honor the validity bitmap: a null slot may legally retain a
+        # non-empty data extent (take/IPC/concat paths), which equal-
+        # offset detection alone would parse as real bytes
+        nulls = (
+            va.is_null().to_numpy(zero_copy_only=False)
+            if va.null_count
+            else np.zeros(len(va), dtype=bool)
+        )
+        return offs, memoryview(va.buffers()[2]), nulls
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -134,34 +144,29 @@ class DecodeValidator:
                     "content_hash", pa.array(content_hash, pa.int64())
                 )
             return batch
-        offs, mv, _va = self._payload_views(batch)
+        offs, mv, nulls = self._payload_views(batch)
         # Per-image work is ONLY the unavoidable parts (header parse +
-        # zlib — opaque per-payload streams); every numpy reduction runs
-        # ONCE per batch over the concatenated pixel buffer. The old
-        # per-image mean/errstate/dequant calls were 60+ us of numpy
-        # dispatch per 3 KB image — over half the decode stage's CPU.
-        # bodies grouped by (byte size, lossy): every numpy reduction
-        # then runs once per SIZE CLASS as a zero-intermediate
-        # reshape-sum — no per-image numpy dispatch (the old path: 60+ us
-        # per 3 KB image) and no corpus-sized cumsum temporaries (an
+        # zlib — opaque per-payload streams). Bodies group by
+        # (byte size, lossy) and every numpy reduction runs once per
+        # SIZE CLASS as a zero-intermediate reshape-sum — no per-image
+        # numpy dispatch (the old path: 60+ us per 3 KB image, over half
+        # the stage's CPU) and no corpus-sized cumsum temporaries (an
         # earlier draft's 100-300 MB/batch of int64 prefix sums thrashed
-        # memory bandwidth under 32-way parallelism)
+        # memory bandwidth under 32-way parallelism).
         by_class: dict = {}
         for i in range(n):
-            s, e = int(offs[i]), int(offs[i + 1])
-            if e - s < 8:  # null (s == e) or shorter than the header
+            if nulls[i]:
                 continue
-            fmt = self.fmt_by_magic.get(bytes(mv[s : s + 4]))
+            s, e = int(offs[i]), int(offs[i + 1])
+            fmt, pw, ph = parse_header(mv[s:e])  # shared wire contract
             if fmt is None:
                 continue
-            pw = int.from_bytes(mv[s + 4 : s + 6], "little")
-            ph = int.from_bytes(mv[s + 6 : s + 8], "little")
             if self.header_only:
                 decode_ok[i] = True
                 dims_match[i] = pw == w[i] and ph == h[i]
                 continue
             try:
-                body = zlib.decompress(mv[s + 8 : e])
+                body = zlib.decompress(mv[s + HEADER_LEN : e])
             except zlib.error:
                 continue
             if len(body) != pw * ph * 3:
@@ -181,7 +186,7 @@ class DecodeValidator:
                 if lossy:
                     # dequantize to bin centers in one LUT pass
                     # (identical values to codecs.decode)
-                    cls = _DEQUANT_LUT[cls]
+                    cls = DEQUANT_LUT[cls]
                 own = np.asarray(owners, dtype=np.int64)
                 m = len(own)
                 # channel means: zero-intermediate reshape-sum (exact —

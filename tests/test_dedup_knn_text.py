@@ -267,17 +267,31 @@ class TestSimHashGuards:
         blanks = {0, 1, 2, 3, 7}
         assert not any(a in blanks or b in blanks for a, b in got)
 
-    def test_max_bucket_guard_drops_hot_bucket(self):
+    def test_max_bucket_guard_caps_hot_bucket(self):
         """A boilerplate corpus (all-identical docs) collides in every
-        band; max_bucket must cap the output instead of O(n^2) pairs."""
+        band; max_bucket must cap the output at LINEAR star pairs (not
+        O(n^2), and not zero — dropping exact duplicates would lose
+        precisely the most-duplicated item)."""
         n = 40
         df = pd.DataFrame(
             {"doc_id": np.arange(n, dtype=np.int64), "text": ["same doc text"] * n}
         )
         pairs = dd.simhash_pairs(rd.from_pandas(df), max_bucket=10)
-        assert len(pairs) == 0  # every bucket is size 40 > 10 -> skipped
+        # identical-hash hot bucket -> star to the min id, hamming 0
+        assert len(pairs) == n - 1
+        assert (pairs["id_a"] == 0).all() and (pairs["hamming"] == 0).all()
+        assert sorted(pairs["id_b"]) == list(range(1, n))
         pairs2 = dd.simhash_pairs(rd.from_pandas(df), max_bucket=64)
         assert len(pairs2) == n * (n - 1) // 2
+
+    def test_max_bucket_guard_drops_mixed_hot_bucket(self):
+        """An oversized bucket whose hashes are NOT identical still
+        drops (the documented hot-key guard)."""
+        from fairy_core_ray.stages.dedup import _simhash_bucket_rows
+
+        ids = np.arange(20, dtype=np.int64)
+        sh = np.arange(20, dtype=np.int64)  # all distinct
+        assert _simhash_bucket_rows(ids, sh, 3, 10) is None
 
 
 class TestEmbeddingNearDup:

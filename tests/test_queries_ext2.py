@@ -213,3 +213,14 @@ def test_trajectory_matches_bruteforce(ray_session):
         ).sum()
         assert abs(out.loc[uid, "path_len"] - d) < 1e-5
         assert out.loc[uid, "n_points"] == len(g)
+
+
+def test_embed_scores_oracle_dim_contract():
+    """_embed_scores_sql() inlines dim-64 weight literals; the driver
+    tables must actually be dim 64 or the Ray query (which infers dim)
+    and the oracle would silently diverge."""
+    import pyarrow.parquet as pq
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+        assert len(t["embedding"][0]) == 64
