@@ -29,6 +29,7 @@ import ray
 import ray.data as rd
 
 from fairy_core_ray.functions.geo import encode_cells
+from fairy_core_ray.pipelines import sql_hash as _sqh
 from fairy_core_ray.stages import dedup as dd
 from fairy_core_ray.stages import knn as knn_mod
 from fairy_core_ray.stages import text_stages as ts
@@ -1211,7 +1212,9 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_ngram_pairs(sf_dir: str):
-    """word-3-gram Jaccard near-dup pairs (rows-only)."""
+    """word-3-gram Jaccard near-dup pairs. Oracle: the miner's PPJoin
+    prefix filter has EXACT recall, so a brute-force SQL gram-join
+    reproduces the pair set and the exact jaccard values."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"], split=16)
     return dd.ngram_jaccard_pairs(ds, threshold=0.5)
 
@@ -1248,8 +1251,12 @@ def q_lsh_ann(sf_dir: str):
 
 
 def q_flagship_tile_stats(sf_dir: str):
-    """flagship image pipeline tile stats at a size scaled to sf_dir
-    (rows-only; golden-tested against the sequential oracle)."""
+    """flagship image pipeline tile stats at a size scaled to sf_dir.
+    Oracle: the synthetic corpus and every pipeline stage are
+    deterministic arithmetic, so the WHOLE pipeline (synth → validate →
+    phash keep-first dedup → footprint → cell → PIP → stats) re-derives
+    as one DuckDB SELECT (pipelines/sql_hash.py) — the headline number
+    is value-hash-pinned, not rows-only."""
     import pyarrow.parquet as pq
 
     from fairy_core_ray.pipelines.flagship import flagship
@@ -1973,5 +1980,36 @@ ORACLE = {
         "FROM events e ASOF JOIN orders o "
         "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate "
         "ORDER BY e.event_id"
+    ),
+    # the flagship headline pipeline, re-derived end-to-end in SQL
+    # (splitmix hashes, violation bands, keep-first window, cell
+    # arithmetic, ray-cast PIP) — see pipelines/sql_hash.py
+    "flagship_tile_stats": _sqh.flagship_tile_stats_sql(_sqh.DOCS_X4_SERIES_SQL),
+    # brute-force word-3-gram Jaccard: the miner has EXACT recall
+    # (PPJoin prefix filter, stages/dedup.py), so the full O(n^2)
+    # gram-intersection join reproduces its output at oracle scale.
+    # Gram semantics mirror word_ngram_arrays: tokens split on
+    # whitespace runs, docs shorter than 3 tokens contribute their
+    # full token sequence as a single gram, docs with no tokens emit
+    # nothing (and so can never be candidates); jaccard = |∩| / |∪|
+    # (both engines: exact integer ratio in IEEE double).
+    "ngram_pairs": (
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), "
+        "x -> x <> '') AS tk FROM documents), "
+        "gr AS ("
+        "SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS gram "
+        "FROM toks, UNNEST(generate_series(1, len(tk) - 2)) t(i) WHERE len(tk) >= 3 "
+        "UNION "
+        "SELECT doc_id, array_to_string(tk, ' ') AS gram "
+        "FROM toks WHERE len(tk) BETWEEN 1 AND 2), "
+        "sz AS (SELECT doc_id, count(*) AS s FROM gr GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+        "FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT id_a, id_b, i / (sa.s + sb.s - i) AS jaccard "
+        "FROM inter "
+        "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+        "WHERE i / (sa.s + sb.s - i) >= 0.5 ORDER BY id_a, id_b"
     ),
 }

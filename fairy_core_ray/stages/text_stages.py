@@ -18,9 +18,17 @@ import pandas as pd
 TOKEN_SPLIT_RE = re.compile(r"\s+")
 WORD_RE = re.compile(r"[A-Za-z0-9_']+")
 PUNCT_RE = re.compile(r"[^\w\s]")
+WORD_CHAR_RE = re.compile(r"[A-Za-z0-9_']")
 
 STOPWORDS = frozenset(
     "the a an and or of to in is are was were be been it this that for on with as at by".split()
+)
+# whole-word stopword occurrences in ONE C-level pass: the lookarounds
+# pin each alternative to a full WORD_RE run, so the count equals
+# sum(w in STOPWORDS for w in findall(WORD_RE)) regardless of
+# alternation order (only the exact full word satisfies both bounds)
+STOPWORD_RE = re.compile(
+    r"(?<![A-Za-z0-9_'])(?:" + "|".join(sorted(STOPWORDS)) + r")(?![A-Za-z0-9_'])"
 )
 
 # tiny trigram profiles per language for the heuristic language-ID.
@@ -51,13 +59,18 @@ def quality_features(texts: pd.Series) -> pd.DataFrame:
     n_chars = s.str.len().to_numpy(np.int64)
     n_tokens = token_count(s)
     n_punct = s.str.count(PUNCT_RE).to_numpy(np.int64)
-    words = s.str.lower().str.findall(WORD_RE)
-    stop_ratio = words.map(
-        lambda ws: sum(w in STOPWORDS for w in ws) / max(1, len(ws))
-    ).to_numpy(np.float64)
-    mean_word_len = words.map(
-        lambda ws: (sum(len(w) for w in ws) / len(ws)) if ws else 0.0
-    ).to_numpy(np.float64)
+    # stop/word-length ratios without per-row Python: WORD_RE matches
+    # are maximal word-char runs, so the total matched length is the
+    # word-char count and the stopword hits come from one anchored
+    # alternation scan (all three are C-level Series.str.count passes)
+    s_low = s.str.lower()
+    n_words = s_low.str.count(WORD_RE).to_numpy(np.int64)
+    n_word_chars = s_low.str.count(WORD_CHAR_RE).to_numpy(np.int64)
+    n_stop = s_low.str.count(STOPWORD_RE).to_numpy(np.int64)
+    stop_ratio = n_stop / np.maximum(1, n_words)
+    mean_word_len = np.where(
+        n_words > 0, n_word_chars / np.maximum(1, n_words), 0.0
+    )
     punct_ratio = n_punct / np.maximum(1, n_chars)
     return pd.DataFrame(
         {

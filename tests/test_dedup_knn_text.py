@@ -250,6 +250,36 @@ class TestWordTopkPaths:
         q = ts.quality_score(feats)
         assert ((q >= 0) & (q <= 1)).all()
 
+    def test_quality_features_match_per_row_reference(self):
+        """The vectorized stop/word-length passes (one Series.str.count
+        each) must equal the per-row findall reference on adversarial
+        inputs: nested stopwords inside words, apostrophes, unicode,
+        punctuation runs, blanks, None."""
+        texts = pd.Series(
+            [
+                "the ant and the anthem are an odd pair",  # an/and/the inside words
+                "it's a don't-stop 'quoted' O'Brien",  # apostrophes in WORD_RE
+                "THE A AN AND — case folding",  # uppercase stopwords
+                "no.stop;words!here???",  # punctuation-split words
+                "",
+                "   ",
+                None,
+                "byword by as at by",  # stopword as prefix of a word
+                "word_1 word's therefore bythe",  # _ and suffix collisions
+            ]
+        )
+        got = ts.quality_features(texts)
+        s = texts.fillna("").astype(str)
+        words = s.str.lower().str.findall(ts.WORD_RE)
+        want_stop = words.map(
+            lambda ws: sum(w in ts.STOPWORDS for w in ws) / max(1, len(ws))
+        ).to_numpy(np.float64)
+        want_mwl = words.map(
+            lambda ws: (sum(len(w) for w in ws) / len(ws)) if ws else 0.0
+        ).to_numpy(np.float64)
+        assert np.array_equal(got["stop_ratio"].to_numpy(), want_stop)
+        assert np.array_equal(got["mean_word_len"].to_numpy(), want_mwl)
+
 
 class TestSimHashGuards:
     def test_blank_docs_skipped(self):
