@@ -413,18 +413,28 @@ def q_user_running_value(sf_dir: str):
     ordered by time — the window-function shape (lag/cumsum family).
     Values are scaled to exact e4 integers BEFORE accumulating so the
     running sum is order-exact on both engines (float window sums are
-    not associativity-stable). Per group: one sort + one cumsum."""
+    not associativity-stable). Grouped by a ×256 hash bucket of the user
+    (NOT per user — per-key map_groups dispatch does not scale to 10^8
+    keys); each bucket runs one lexsort + one segmented cumsum over all
+    its users."""
+    from fairy_core_ray.pipelines.queries import _key_hash_bucket
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(g["us"].to_numpy(), kind="stable")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["us"].to_numpy(), g["user_id"].to_numpy()))
+        user = g["user_id"].to_numpy()[order]
         v_e4 = _round_half_away(
             g["value"].to_numpy(np.float64)[order] * 10000.0, 0
         ).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, user[1:] != user[:-1]])
+        seg_len = np.diff(np.r_[starts, len(user)])
+        cum = np.cumsum(v_e4)
+        base = np.repeat(np.r_[np.int64(0), cum[starts[1:] - 1]], seg_len)
+        rn = np.arange(len(user), dtype=np.int64) - np.repeat(starts, seg_len) + 1
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy().astype(np.int64)[order],
-                "rn": np.arange(1, len(g) + 1, dtype=np.int64),
-                "cum_e4": np.cumsum(v_e4),
+                "rn": rn,
+                "cum_e4": cum - base,
             }
         )
 
@@ -435,11 +445,14 @@ def q_user_running_value(sf_dir: str):
                 "user_id": t["user_id"],
                 "us": pc.cast(t["ts"], pa.int64()),
                 "value": t["value"],
+                "bucket": pa.array(
+                    _key_hash_bucket(t["user_id"].to_numpy(), 256), pa.int64()
+                ),
             }
         ),
         batch_format="pyarrow",
     )
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out = ds.groupby("bucket").map_groups(per_bucket, batch_format="pandas").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -465,27 +478,64 @@ def q_geo_distance_join(sf_dir: str):
     the grid-bucketed pattern (cell size = r, each point owns its home
     cell and is replicated as a CANDIDATE to the 8 neighbors; a pair is
     emitted only by the group where the OWNER has the smaller id, so
-    every pair appears exactly once with no post-dedup shuffle). The 9x
-    candidate replication carries only (id, lon, lat); at scale you'd
-    prune replicas to cells with owners via a pre-counted filter."""
+    every pair appears exactly once with no post-dedup shuffle).
+    Candidate replicas are PRUNED to owner-occupied cells (VERDICT r3
+    #5): a cheap key-only pre-pass folds the distinct home cells, the
+    sorted cell array broadcasts once via ray.put, and each batch ships
+    a neighbor replica only where an owner exists — on sparse grids this
+    cuts the shuffled candidate volume from a flat 9x toward ~1x. (At
+    10^12 rows the occupied-cell array itself would range-partition into
+    plasma buckets like flagship's dup-key index; it is cells-only, so
+    even 10^8 occupied cells broadcast in ~1 GB.)"""
     r = _DIST_R
+
+    # pre-pass: distinct home cells (key-only; per-batch unique partials)
+    def home_cells(t: pa.Table) -> pd.DataFrame:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        lon, lat = event_lonlat(eid)
+        ix = np.floor(lon / r).astype(np.int64)
+        iy = np.floor(lat / r).astype(np.int64)
+        return pd.DataFrame(
+            {"cell": np.unique((ix + 100000) * 1000000 + (iy + 100000))}
+        )
+
+    occ_parts = [
+        b["cell"].to_numpy()
+        for b in _t(sf_dir, "events", ["event_id"])
+        .map_batches(home_cells, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pandas")
+    ]
+    occupied = (
+        np.unique(np.concatenate(occ_parts)) if occ_parts else np.empty(0, np.int64)
+    )
+    occ_ref = ray.put(occupied)
 
     def keyed(t: pa.Table) -> pd.DataFrame:
         eid = t["event_id"].to_numpy().astype(np.int64)
         lon, lat = event_lonlat(eid)
+        occ = ray.get(occ_ref)
         ix = np.floor(lon / r).astype(np.int64)
         iy = np.floor(lat / r).astype(np.int64)
         frames = []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
+                cell = (ix + dx + 100000) * 1000000 + (iy + dy + 100000)
+                is_owner = dx == 0 and dy == 0
+                if is_owner:
+                    keep = np.ones(len(eid), dtype=bool)
+                elif len(occ) == 0:
+                    continue
+                else:
+                    pos = np.minimum(np.searchsorted(occ, cell), len(occ) - 1)
+                    keep = occ[pos] == cell
                 frames.append(
                     pd.DataFrame(
                         {
-                            "cell": (ix + dx + 100000) * 1000000 + (iy + dy + 100000),
-                            "event_id": eid,
-                            "lon": lon,
-                            "lat": lat,
-                            "owner": np.full(len(eid), dx == 0 and dy == 0),
+                            "cell": cell[keep],
+                            "event_id": eid[keep],
+                            "lon": lon[keep],
+                            "lat": lat[keep],
+                            "owner": np.full(int(keep.sum()), is_owner),
                         }
                     )
                 )

@@ -312,31 +312,57 @@ def q_user_daily_gapfill(sf_dir: str):
     """Resample each user's event stream to a dense daily series (zero
     rows for gap days between the user's first and last event) — the
     regularization step before any per-user time-series featurization.
-    One groupby(user) shuffle of (user, day) pairs; the dense range
-    explodes INSIDE map_groups, so no stage materializes the corpus."""
+    One groupby shuffle of (user, day) pairs keyed by a ×256 HASH BUCKET
+    of the user id (the geo_distance_join dispatch pattern): one
+    map_groups call per bucket instead of one per user (a 10^8-user
+    corpus would otherwise pay 10^8 tiny pandas/Ray dispatches), with
+    all users of a bucket gap-filled in one vectorized numpy pass."""
+    from fairy_core_ray.pipelines.queries import _key_hash_bucket
+
     ds = _t(sf_dir, "events", ["user_id", "ts"], split=8)
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
         day = (df["ts"].astype("datetime64[us]").astype(np.int64) // _US_PER_DAY)
-        return pd.DataFrame({"user_id": df["user_id"].to_numpy(), "day": day})
-
-    def gapfill(g: pd.DataFrame) -> pd.DataFrame:
-        days = g["day"].to_numpy(np.int64)
-        lo, hi = days.min(), days.max()
-        full = np.arange(lo, hi + 1, dtype=np.int64)
-        cnt = np.bincount(days - lo, minlength=len(full))
+        user = df["user_id"].to_numpy()
         return pd.DataFrame(
             {
-                "user_id": np.repeat(g["user_id"].iloc[0], len(full)),
-                "day": full,
-                "n_events": cnt.astype(np.int64),
+                "user_id": user,
+                "day": day,
+                "bucket": _key_hash_bucket(user, 256),
+            }
+        )
+
+    def gapfill_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over ALL users in the bucket: per-user spans from
+        # one lexsort, dense day ranges + event counts via repeat/bincount
+        order = np.lexsort((g["day"].to_numpy(), g["user_id"].to_numpy()))
+        user = g["user_id"].to_numpy()[order]
+        day = g["day"].to_numpy(np.int64)[order]
+        starts = np.flatnonzero(np.r_[True, user[1:] != user[:-1]])
+        ends = np.r_[starts[1:], len(user)]
+        lo, hi = day[starts], day[ends - 1]
+        lens = hi - lo + 1
+        total = int(lens.sum())
+        out_starts = np.r_[0, np.cumsum(lens)[:-1]]
+        full_day = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(out_starts, lens)
+            + np.repeat(lo, lens)
+        )
+        ev_seg = np.repeat(np.arange(len(starts)), ends - starts)
+        pos = out_starts[ev_seg] + (day - lo[ev_seg])
+        return pd.DataFrame(
+            {
+                "user_id": np.repeat(user[starts], lens),
+                "day": full_day,
+                "n_events": np.bincount(pos, minlength=total).astype(np.int64),
             }
         )
 
     out = (
         ds.map_batches(project, batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(gapfill, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(gapfill_bucket, batch_format="pandas")
         .to_pandas()
     )
     out["user_id"] = out["user_id"].astype(np.int64)
@@ -364,7 +390,12 @@ def q_latest_event_per_user(sf_dir: str):
     event_id on ties) — the keep-latest-per-key primitive of CDC /
     upsert-log compaction. Associative: each batch first reduces to its
     own per-user maxima (combiner), so the groupby shuffle moves at most
-    one row per (batch, user), never the log."""
+    one row per (batch, user), never the log; the final fold groups by a
+    ×256 HASH BUCKET of the user (one vectorized sort+drop_duplicates per
+    bucket), not per user — per-key map_groups dispatch does not scale
+    to 10^8 keys."""
+    from fairy_core_ray.pipelines.queries import _key_hash_bucket
+
     ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "value"], split=8)
 
     def pick_latest(df: pd.DataFrame) -> pd.DataFrame:
@@ -374,10 +405,15 @@ def q_latest_event_per_user(sf_dir: str):
         )
         return df.drop_duplicates("user_id", keep="first")
 
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = pick_latest(df)
+        return out.assign(bucket=_key_hash_bucket(out["user_id"].to_numpy(), 256))
+
     out = (
-        ds.map_batches(pick_latest, batch_format="pandas")  # per-batch combiner
-        .groupby("user_id")
+        ds.map_batches(combine, batch_format="pandas")  # per-batch combiner
+        .groupby("bucket")
         .map_groups(pick_latest, batch_format="pandas")
+        .drop_columns(["bucket"])
         .to_pandas()
     )
     out["ts_us"] = out["ts"].astype("datetime64[us]").astype(np.int64)

@@ -391,12 +391,21 @@ def _self_knn_block(block_i, all_refs: list, k: int):
     )
 
 
+# cosine_topk_selfjoin auto-routes to the LSH-bucketed variant above
+# this many input blocks — O(B²) block-pair matmuls is the exact-kNN
+# lower bound and the right tool at oracle/audit scale, but unguarded it
+# would schedule 10^10 tasks on a 10^5-block corpus (VERDICT r3 #4; same
+# posture as dedup.EXACT_NEARDUP_MAX_BLOCKS).
+EXACT_SELF_KNN_MAX_BLOCKS = 64
+
+
 def cosine_topk_selfjoin(
     ds: rd.Dataset,
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 3,
+    max_exact_blocks: int | None = None,
 ) -> pd.DataFrame:
     """Exact kNN self-join: (vec_id, neighbor_id, cosine) — each row's
     top-k cosine neighbors over the whole corpus.
@@ -404,12 +413,17 @@ def cosine_topk_selfjoin(
     Normalized vector blocks live in the object store; one Ray task per
     block streams the other blocks through a running top-k merge, so the
     driver holds only refs + the (n x k) result. Work is O(B^2) block
-    matmuls — the exact-kNN lower bound; route through lsh_cosine_ann /
-    ivf_cosine_ann when approximate recall is acceptable at corpus
-    scale."""
+    matmuls — the exact-kNN lower bound. Above ``max_exact_blocks``
+    blocks (default EXACT_SELF_KNN_MAX_BLOCKS) the call auto-routes to
+    ``lsh_cosine_topk_selfjoin`` (bucketed, approximate — the corpus
+    scale path); pass an explicit ``max_exact_blocks`` to force either
+    path."""
     from fairy_core_ray.stages.dedup import _vec_block_refs
 
+    limit = EXACT_SELF_KNN_MAX_BLOCKS if max_exact_blocks is None else max_exact_blocks
     blocks = _vec_block_refs(ds, id_col, vec_col)
+    if len(blocks) > limit:
+        return lsh_cosine_topk_selfjoin(ds, vec_col=vec_col, id_col=id_col, k=k)
     tasks = [_self_knn_block.remote(b, blocks, k) for b in blocks]
     parts = [p for p in ray.get(tasks) if len(p)]
     if not parts:
@@ -421,3 +435,112 @@ def cosine_topk_selfjoin(
     out["vec_id"] = out["vec_id"].astype(np.int64)
     out["neighbor_id"] = out["neighbor_id"].astype(np.int64)
     return out.sort_values(["vec_id", "neighbor_id"]).reset_index(drop=True)
+
+
+def lsh_cosine_topk_selfjoin(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    n_tables: int = 12,
+    n_planes: int = 10,
+    seed: int = 42,
+    max_bucket: int = 4096,
+) -> pd.DataFrame:
+    """Approximate kNN self-join via random-hyperplane LSH (Charikar
+    2002) — the corpus-scale route cosine_topk_selfjoin falls back to:
+    per-batch signatures, ONE shuffle of (table, sig, id, vec) rows,
+    within-bucket exact top-k in distributed ``map_groups``, then a
+    hash-bucketed global fold of the <= k*n_tables candidates per id —
+    no all-pairs term, no per-key dispatch, no driver-side vectors.
+
+    Tie-breaks match the exact path (higher cosine first, then smaller
+    neighbor id), so on inputs where every true neighbor collides in
+    some table the output equals cosine_topk_selfjoin exactly."""
+    first = ds.take(1)
+    if not first:
+        return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cosine": []})
+    dim = len(first[0][vec_col])
+    rng = np.random.default_rng(seed)
+    planes_ref = ray.put(rng.standard_normal((n_tables, n_planes, dim)))
+    weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        P = ray.get(planes_ref)
+        X = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        proj = np.einsum("nd,tpd->ntp", X, P) > 0
+        sigs = (proj.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
+        n, t = len(df), P.shape[0]
+        return pd.DataFrame(
+            {
+                "table": np.tile(np.arange(t, dtype=np.int64), n),
+                "sig": sigs.astype(np.int64).ravel(),
+                "id": np.repeat(df[id_col].to_numpy(), t),
+                "vec": [v for v in X for _ in range(t)],
+            }
+        )
+
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series([], dtype=np.int64),
+            "neighbor_id": pd.Series([], dtype=np.int64),
+            "cosine": pd.Series([], dtype=np.float64),
+        }
+    )
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2 or len(g) > max_bucket:  # hot-bucket guard
+            return empty
+        ids = g["id"].to_numpy()
+        X = np.stack(g["vec"].to_numpy())
+        S = X @ X.T
+        S[ids[:, None] == ids[None, :]] = -2.0  # self (incl. dup rows)
+        kk = min(k, len(g) - 1)
+        # id-sort then stable value-sort => ties resolved by smaller id
+        o1 = np.argsort(ids)
+        S = S[:, o1]
+        ids_s = ids[o1]
+        top = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        vals = np.take_along_axis(S, top, axis=1)
+        keep = vals > -1.5
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, kk)[keep.ravel()],
+                "neighbor_id": ids_s[top.ravel()][keep.ravel()],
+                "cosine": vals.ravel()[keep.ravel()],
+            }
+        )
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # candidates per id <= k * n_tables; exact top-k over the union
+        g = g.drop_duplicates(["vec_id", "neighbor_id"])
+        g = g.sort_values(["vec_id", "neighbor_id"], kind="mergesort")
+        g = g.sort_values(["vec_id", "cosine"], ascending=[True, False],
+                          kind="mergesort")
+        g = g[g.groupby("vec_id").cumcount() < k]
+        return g[["vec_id", "neighbor_id", "cosine"]]
+
+    from fairy_core_ray.pipelines.queries import _key_hash_bucket
+
+    cands = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(sig, batch_format="pandas")
+        .groupby(["table", "sig"])
+        .map_groups(bucket_topk, batch_format="pandas")
+        .map_batches(
+            lambda df: df.assign(
+                fb=_key_hash_bucket(df["vec_id"].to_numpy(), 256)
+            ),
+            batch_format="pandas",
+        )
+        .groupby("fb")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(cands):
+        return empty
+    cands["vec_id"] = cands["vec_id"].astype(np.int64)
+    cands["neighbor_id"] = cands["neighbor_id"].astype(np.int64)
+    return cands.sort_values(["vec_id", "neighbor_id"]).reset_index(drop=True)

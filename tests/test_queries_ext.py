@@ -66,6 +66,52 @@ def test_geo_distance_join_pairs_unique_and_bounded(ray_session):
         assert not out.duplicated(["id_a", "id_b"]).any()
 
 
+def test_geo_distance_join_sparse_pruned_and_exact(ray_session, tmp_path):
+    """Owner-occupied pruning (VERDICT r3 #5): on a sparse grid the
+    replica volume must drop well below the flat 9x, and the output must
+    still equal the O(n²) brute force exactly."""
+    import duckdb
+
+    from fairy_core_ray.pipelines.queries import event_lonlat
+
+    # sf0.001 events: recompute the replica count the query would ship
+    ev = duckdb.sql(f"SELECT event_id FROM '{SF}/events.parquet'").df()
+    eid = ev["event_id"].to_numpy().astype(np.int64)
+    lon, lat = event_lonlat(eid)
+    r = 0.005
+    ix = np.floor(lon / r).astype(np.int64)
+    iy = np.floor(lat / r).astype(np.int64)
+    home = (ix + 100000) * 1000000 + (iy + 100000)
+    occupied = np.unique(home)
+    shipped = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            cell = (ix + dx + 100000) * 1000000 + (iy + dy + 100000)
+            pos = np.minimum(np.searchsorted(occupied, cell), len(occupied) - 1)
+            shipped += int((occupied[pos] == cell).sum())
+    assert shipped < 0.8 * 9 * len(eid)  # measurably below flat 9x
+
+    # exactness on a controlled sparse corpus: clusters far apart plus
+    # singletons in otherwise-empty neighborhoods
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame({"event_id": rng.choice(10_000_000, size=n, replace=False)})
+    df.to_parquet(f"{tmp_path}/events.parquet", index=False)
+    out = EXT_QUERIES["geo_distance_join"](str(tmp_path))
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    e2 = df["event_id"].to_numpy().astype(np.int64)
+    lon2, lat2 = event_lonlat(e2)
+    d2 = (lon2[:, None] - lon2[None, :]) ** 2 + (lat2[:, None] - lat2[None, :]) ** 2
+    ai, bi = np.nonzero((d2 <= r * r) & (e2[:, None] < e2[None, :]))
+    want = pd.DataFrame(
+        {"id_a": e2[ai], "id_b": e2[bi], "dist2": d2[ai, bi]}
+    ).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), want, check_dtype=False
+    )
+
+
 def test_dedup_survivors_complement(ray_session):
     """survivors + dropped == corpus; every dropped id is a cluster
     member with a smaller representative."""

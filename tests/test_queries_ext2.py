@@ -115,6 +115,30 @@ def test_self_knn_matches_bruteforce(ray_session):
         assert np.allclose(np.sort(sub["cosine"].to_numpy())[::-1], S[i][order], atol=1e-12)
 
 
+def test_self_knn_auto_routes_to_lsh_above_block_budget(ray_session):
+    """cosine_topk_selfjoin must not schedule O(B²) exact block pairs
+    above the block budget (VERDICT r3 #4): forcing the budget to 0
+    routes through lsh_cosine_topk_selfjoin, and on clustered vectors
+    (every true neighbor nearly parallel → collides in every LSH table)
+    the routed result equals the exact one, tie-breaks included."""
+    import ray.data as rd
+
+    from fairy_core_ray.stages.knn import cosine_topk_selfjoin
+
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((20, 16))
+    X = np.repeat(base, 4, axis=0) + 0.01 * rng.standard_normal((80, 16))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(80, dtype=np.int64), "embedding": list(X)}
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    exact = cosine_topk_selfjoin(ds, k=3)
+    routed = cosine_topk_selfjoin(ds, k=3, max_exact_blocks=0)
+    pd.testing.assert_frame_equal(
+        routed.round({"cosine": 9}), exact.round({"cosine": 9})
+    )
+
+
 def test_gapfill_dense_and_zeroed(ray_session):
     out = qx2.q_user_daily_gapfill(SF)
     for uid, g in out.groupby("user_id"):
@@ -183,6 +207,57 @@ def test_compact_expansion_identity_and_minimality(ray_session):
         {"res": df["res"], "px": ixs // 2, "py": iys // 2}
     ).groupby(["res", "px", "py"]).size()
     assert (sib < 4).all()
+
+
+def test_bucketed_folds_many_users_per_bucket(ray_session, tmp_path):
+    """The ×256 hash-bucket folds (gapfill / latest-per-key) must stay
+    exact when buckets hold MANY users (the scale posture that replaced
+    per-user map_groups dispatch — VERDICT r3 #3): 1500 users → ~6 users
+    per bucket, mixed spans, duplicate days, out-of-order rows."""
+    rng = np.random.default_rng(5)
+    n_users, n_rows = 1500, 20_000
+    user = rng.integers(0, n_users, size=n_rows).astype(np.int64)
+    day_us = 86_400_000_000
+    ts_us = (
+        rng.integers(0, 40, size=n_rows).astype(np.int64) * day_us
+        + rng.integers(0, day_us, size=n_rows)
+    )
+    df = pd.DataFrame(
+        {
+            "user_id": user,
+            "event_id": np.arange(n_rows, dtype=np.int64),
+            "ts": pd.to_datetime(ts_us, unit="us"),
+            "value": rng.uniform(0, 100, size=n_rows).round(2),
+        }
+    )
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+
+    out = qx2.q_user_daily_gapfill(sf)
+    # naive per-user reference
+    days = pd.DataFrame({"user_id": user, "day": ts_us // day_us})
+    frames = []
+    for uid, g in days.groupby("user_id"):
+        lo, hi = g["day"].min(), g["day"].max()
+        full = np.arange(lo, hi + 1, dtype=np.int64)
+        cnt = np.bincount(g["day"].to_numpy() - lo, minlength=len(full))
+        frames.append(
+            pd.DataFrame({"user_id": uid, "day": full, "n_events": cnt.astype(np.int64)})
+        )
+    want = pd.concat(frames, ignore_index=True).sort_values(
+        ["user_id", "day"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want)
+
+    latest = qx2.q_latest_event_per_user(sf)
+    want_l = (
+        df.assign(ts_us=ts_us)
+        .sort_values(["user_id", "ts_us", "event_id"], ascending=[True, False, False])
+        .drop_duplicates("user_id", keep="first")
+        .sort_values("user_id")
+        .reset_index(drop=True)[["user_id", "event_id", "ts_us", "value"]]
+    )
+    pd.testing.assert_frame_equal(latest, want_l)
 
 
 def test_gapfill_conserves_event_counts(ray_session):
