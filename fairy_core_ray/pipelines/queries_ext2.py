@@ -520,6 +520,58 @@ def hll_estimate(regs: np.ndarray) -> int:
     return int(round(e))
 
 
+def hll_sql(table: str = "events", col: str = "user_id") -> str:
+    """DuckDB re-derivation of the HLL estimate — bit-exact registers.
+
+    The sketch is deterministic (splitmix64, no RNG) and register maxima
+    are order-independent, so the whole estimate is SQL-expressible:
+    splitmix64 via the HUGEINT split-multiply stages already verified
+    bit-exact in sql_hash.py, register index = top p hash bits, rank =
+    65 - bitlength(rest) with DuckDB ``bin()`` (rest keeps its low p bits
+    forced to 1, mirroring hll_partial's low-bits guard, so it is never
+    0). Float literals are all DOUBLE-cast so DuckDB never routes through
+    DECIMAL. The raw-estimate branch sums 2^-rank in a different order
+    than np.sum (pairwise) — that value only picks the branch, and both
+    branch inputs sit far from the 2.5m boundary at test scales; the
+    linear-counting output itself (m*ln(m/zeros)) is exact."""
+    from fairy_core_ray.pipelines.sql_hash import sm_stage1, sm_stage2, sm_stage3
+
+    m = _HLL_M
+    inner = f"SELECT CAST({col} AS UBIGINT) AS h FROM {table}"
+    s1 = f"SELECT {sm_stage1('h')} AS h FROM ({inner})"
+    s2 = f"SELECT {sm_stage2('h')} AS h FROM ({s1})"
+    s3 = f"SELECT {sm_stage3('h')} AS h FROM ({s2})"
+    rest = (
+        f"CAST((CAST(h AS HUGEINT) * {1 << _HLL_P}) % {1 << 64} "
+        f"+ {(1 << _HLL_P) - 1} AS UBIGINT)"
+    )
+    d = "CAST({} AS DOUBLE)".format
+    alpha = f"({d('0.7213')} / ({d('1')} + {d('1.079')} / {d(f'{m}.0')}))"
+    return f"""
+WITH hashed AS ({s3}),
+regs AS (
+  SELECT CAST(h >> {64 - _HLL_P} AS BIGINT) AS idx,
+         MAX(65 - length(bin({rest}))) AS rank
+  FROM hashed GROUP BY 1
+),
+folded AS (
+  SELECT count(*) AS present,
+         SUM(power({d('2.0')}, -CAST(rank AS DOUBLE))) AS sp
+  FROM regs
+),
+est AS (
+  SELECT ({m} - present) AS zeros,
+         (({alpha} * {d(f'{m}.0')}) * {d(f'{m}.0')})
+           / (CAST({m} - present AS DOUBLE) + sp) AS raw
+  FROM folded
+)
+SELECT CAST(round(CASE WHEN raw <= {d(f'{2.5 * m}')} AND zeros > 0
+                       THEN {d(f'{m}.0')} * ln({d(f'{m}.0')} / CAST(zeros AS DOUBLE))
+                       ELSE raw END) AS BIGINT) AS approx_distinct
+FROM est
+"""
+
+
 def q_approx_distinct_users(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) via HyperLogLog: per-batch
     4 KiB register partials, elementwise-max fold — constant driver and
@@ -959,8 +1011,10 @@ EXT2_ORACLE = {
     "order_lineitem_join": ORDER_LINEITEM_JOIN_SQL,
     "embed_scores": _embed_scores_sql(),
     "window_top_users": WINDOW_TOP_USERS_SQL,
-    # approx_distinct_users: rows-only — an HLL sketch is not SQL-expressible;
-    # error bound + determinism pinned in test_queries_ext2.py
+    # approx_distinct_users: the sketch IS SQL-expressible because it is
+    # deterministic — see hll_sql(); error bound vs exact count pinned in
+    # test_queries_ext2.py
+    "approx_distinct_users": hll_sql(),
 }
 
 from fairy_core_ray.pipelines import queries as _q  # noqa: E402

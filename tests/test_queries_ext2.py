@@ -174,6 +174,46 @@ def test_hll_partial_merge_associative():
     assert err < 3 * 1.04 / np.sqrt(qx2._HLL_M)
 
 
+def test_hll_sql_matches_python_raw_branch():
+    """The SQL re-derivation must agree with the numpy sketch on BOTH
+    estimator branches. 30k distinct keys forces the raw (bias-corrected
+    harmonic) branch, where the only cross-engine difference is float
+    sum order — allow 1 ulp of the rounded integer."""
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 1 << 62, size=40_000, dtype=np.int64)
+    py_est = qx2.hll_estimate(qx2.hll_partial(keys))
+    con = duckdb.connect()
+    con.register("keyed", pd.DataFrame({"user_id": keys}))
+    sql_est = con.sql(qx2.hll_sql(table="keyed")).fetchone()[0]
+    assert abs(int(sql_est) - int(py_est)) <= 1
+    # register-level bit-exactness: idx/rank maxima from SQL == numpy
+    regs_sql = con.sql(
+        qx2.hll_sql(table="keyed").split("folded AS")[0].rstrip().rstrip(",")
+        + " SELECT idx, rank FROM regs ORDER BY idx"
+    ).df()
+    regs_py = qx2.hll_partial(keys)
+    nz = np.nonzero(regs_py)[0]
+    assert (regs_sql["idx"].to_numpy() == nz).all()
+    assert (regs_sql["rank"].to_numpy() == regs_py[nz]).all()
+    con.close()
+
+
+def test_hll_sql_linear_branch_small():
+    """150-ish distinct keys (the sf0.01 regime) takes the
+    linear-counting branch — output must match the python fold exactly."""
+    import duckdb
+
+    keys = np.arange(137, dtype=np.int64) * 1_000_003
+    py_est = qx2.hll_estimate(qx2.hll_partial(keys))
+    con = duckdb.connect()
+    con.register("keyed", pd.DataFrame({"user_id": keys}))
+    sql_est = con.sql(qx2.hll_sql(table="keyed")).fetchone()[0]
+    con.close()
+    assert int(sql_est) == int(py_est)
+
+
 def test_compact_expansion_identity_and_minimality(ray_session):
     """compacted set must (a) expand back to exactly the input leaf
     cells and (b) contain no complete 4-sibling group above the floor
