@@ -1180,8 +1180,62 @@ def q_quality_scores(sf_dir: str):
     )
 
 
+def fingerprint_sql(window: int = 8) -> str:
+    """DuckDB re-derivation of rolling_fingerprint (text_stages.py:136):
+    UTF-8 bytes recovered by hex-pair decode of ``encode(text)``, each
+    ``window``-byte window's weighted sum folded in HUGEINT (terms are
+    byte*w^i < 2^72, exact) then wrapped mod 2^64, splitmix64 applied via
+    the bit-exact stages from sql_hash, masked to 63 bits. fp_min =
+    smallest distinct hash (-1 for empty docs), fp_n = min(keep=4,
+    distinct count). The short-doc path (n < window: one window, weights
+    truncated) falls out of the ``p + i < n`` term filter."""
+    from fairy_core_ray.pipelines.sql_hash import sm_stage1, sm_stage2, sm_stage3
+
+    w = 2654435761
+    weights = [pow(w, i, 1 << 64) for i in range(window)]
+    wt_rows = ", ".join(f"({i}, {wi})" for i, wi in enumerate(weights))
+    hexd = "'0123456789ABCDEF'"
+    byte = (
+        f"((strpos({hexd}, substr(hx, 2 * (p + i) + 1, 1)) - 1) * 16 "
+        f"+ strpos({hexd}, substr(hx, 2 * (p + i) + 2, 1)) - 1)"
+    )
+    sums = f"""
+SELECT doc_id, p,
+       CAST(SUM(CAST({byte} AS HUGEINT) * wt.w) % {1 << 64} AS UBIGINT) AS h
+FROM (
+  SELECT doc_id, hx, n,
+         unnest(range(greatest(n - {window - 1},
+                               CASE WHEN n > 0 THEN 1 ELSE 0 END))) AS p
+  FROM (SELECT doc_id, hex(encode(COALESCE(text, ''))) AS hx,
+               octet_length(encode(COALESCE(text, ''))) AS n FROM documents)
+) wins
+CROSS JOIN (VALUES {wt_rows}) AS wt(i, w)
+WHERE p + wt.i < n
+GROUP BY doc_id, p
+"""
+    s1 = f"SELECT doc_id, {sm_stage1('h')} AS h FROM ({sums})"
+    s2 = f"SELECT doc_id, {sm_stage2('h')} AS h FROM ({s1})"
+    s3 = f"SELECT doc_id, {sm_stage3('h')} AS h FROM ({s2})"
+    return f"""
+WITH h63 AS (
+  SELECT DISTINCT doc_id,
+         CAST(CAST(h AS HUGEINT) % {1 << 63} AS BIGINT) AS h
+  FROM ({s3})
+),
+agg AS (
+  SELECT doc_id, min(h) AS fp_min,
+         LEAST(4, count(*)) AS fp_n
+  FROM h63 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(agg.fp_min, -1) AS fp_min,
+       CAST(COALESCE(agg.fp_n, 0) AS BIGINT) AS fp_n
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
 def q_fingerprints(sf_dir: str):
-    """rolling-hash document fingerprint (rows-only)."""
+    """rolling-hash document fingerprint (value-oracle: fingerprint_sql)."""
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
         fps = ts.rolling_fingerprint(df["text"])
@@ -1662,6 +1716,7 @@ QUERIES = {
 _PTS = f"WITH pts AS ({EVENT_LONLAT_SQL})"
 
 ORACLE = {
+    "fingerprints": fingerprint_sql(),
     "events_hopping": (
         "WITH two AS ("
         "SELECT event_type, (epoch_us(ts) // 1000000 // 1800) * 1800 AS win_start, value FROM events "

@@ -245,6 +245,42 @@ class TestWordTopkPaths:
         same = ts.rolling_fingerprint(pd.Series([s[0], s[0]]))
         assert same[0] == same[1]
 
+    def test_fingerprint_sql_matches_python_edge_cases(self):
+        """fingerprint_sql must be bit-exact vs rolling_fingerprint on the
+        nasty byte paths: empty text, NULL, sub-window docs (weights
+        truncated), exactly window-sized, multibyte UTF-8 (hex decode must
+        track bytes, not characters), repeated windows (distinct fold)."""
+        import duckdb
+
+        from fairy_core_ray.pipelines.queries import fingerprint_sql
+
+        texts = [
+            "", None, "ab", "exactly8", "short7!",
+            "café naïve 中文 \U0001f600 bytes",
+            "aaaaaaaaaaaaaaaaaaaaaaaa",  # one distinct window hash
+            "hello world this is a longer document with many windows",
+        ]
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        fps = ts.rolling_fingerprint(df["text"])
+        want = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "fp_min": [int(f[0]) if f else -1 for f in fps],
+                "fp_n": [len(f) for f in fps],
+            }
+        )
+        con = duckdb.connect()
+        con.register("documents", df)
+        got = (
+            con.sql(fingerprint_sql())
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+            .astype({"fp_min": "int64", "fp_n": "int64"})
+        )
+        con.close()
+        pd.testing.assert_frame_equal(got, want.astype({"fp_n": "int64"}))
+
     def test_quality_score_range(self):
         feats = ts.quality_features(pd.Series(["good plain text with words here"] * 3))
         q = ts.quality_score(feats)
