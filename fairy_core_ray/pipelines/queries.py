@@ -1108,6 +1108,35 @@ def q_image_thumb_stats(sf_dir: str):
     )
 
 
+def q_image_dims_hist(sf_dir: str):
+    """(fmt, w, h) histogram over the materialized image table: a
+    column-pruned parquet read (only 3 of 7 columns — bytes/caption
+    never leave storage) + per-batch crosstab partials + small fold.
+    Oracle: sql_hash.image_dims_hist_sql re-derives every dim from
+    generator arithmetic, pinning the materialized table itself."""
+    import pyarrow.parquet as pq
+
+    from fairy_core_ray.sources.synth import ensure_image_dataset
+
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    path = ensure_image_dataset(4 * n_docs, seed=42)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["fmt", "w", "h"], sort=False).size().rename("n").reset_index()
+        )
+        out["w"] = out["w"].astype(np.int64)
+        out["h"] = out["h"].astype(np.int64)
+        return out
+
+    parts = rd.read_parquet(path, columns=["fmt", "w", "h"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    folded = dd._fold_counts(parts, ["fmt", "w", "h"])
+    folded["n"] = folded["n"].astype(np.int64)
+    return folded.sort_values(["fmt", "w", "h"]).reset_index(drop=True)
+
+
 # ----- rows-only (non-SQL-expressible) operators -----
 
 
@@ -1575,6 +1604,68 @@ def q_token_quantiles(sf_dir: str):
     )
 
 
+def _hist_quantile_cont(vals: np.ndarray, cnts: np.ndarray, q: float) -> float:
+    """quantile_cont over an exact value histogram — identical
+    interpolation to DuckDB/PostgreSQL percentile_cont."""
+    total = int(cnts.sum())
+    cum = np.cumsum(cnts)
+    pos = (total - 1) * q
+    lo_i, frac = int(np.floor(pos)), pos - np.floor(pos)
+    lo = vals[np.searchsorted(cum, lo_i + 1)]
+    hi = vals[np.searchsorted(cum, min(lo_i + 1, total - 1) + 1)]
+    return float(lo) + frac * (float(hi) - float(lo))
+
+
+def q_token_quantiles_by_lang(sf_dir: str):
+    """GROUPED exact token-count quantiles (p50/p90/p99 per lang) from
+    distributed (lang, count) histogram partials: token counts are small
+    ints and languages few, so per-batch histograms merge exactly and
+    the driver fold is O(langs x distinct counts), corpus-independent.
+    Token counting is one vectorized regex pass (Series.str.count), not
+    a per-doc Python loop."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            df["text"].fillna("").astype(str).str.count("[^ ]+").to_numpy(np.int64)
+        )
+        out = (
+            pd.DataFrame({"lang": df["lang"].to_numpy(), "v": c})
+            .groupby(["lang", "v"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return out
+
+    parts = _t(sf_dir, "documents", ["lang", "text"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    folded = dd._fold_counts(parts, ["lang", "v"])
+    rows = []
+    for lang, grp in folded.groupby("lang", sort=True):
+        grp = grp.sort_values("v")
+        vals = grp["v"].to_numpy(np.int64)
+        cnts = grp["n"].to_numpy(np.int64)
+        rows.append(
+            {
+                "lang": lang,
+                "p50": round(_hist_quantile_cont(vals, cnts, 0.5), 6),
+                "p90": round(_hist_quantile_cont(vals, cnts, 0.9), 6),
+                "p99": round(_hist_quantile_cont(vals, cnts, 0.99), 6),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+TOKEN_QUANTILES_BY_LANG_SQL = (
+    "SELECT lang, round(quantile_cont(c, 0.5), 6) AS p50, "
+    "round(quantile_cont(c, 0.9), 6) AS p90, "
+    "round(quantile_cont(c, 0.99), 6) AS p99 FROM ("
+    "SELECT lang, len(list_filter(string_split(text, ' '), x -> x <> '')) AS c "
+    "FROM documents) GROUP BY lang"
+)
+
+
 def q_neardup_clusters(sf_dir: str):
     """connected components over the EXACT embedding near-dup pair set
     (same threshold as embed_neardup) → (id, rep) canonical clusters,
@@ -1704,6 +1795,8 @@ QUERIES = {
     "langid": q_langid,
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
+    "image_dims_hist": q_image_dims_hist,
+    "token_quantiles_by_lang": q_token_quantiles_by_lang,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ngram_pairs": q_ngram_pairs,
@@ -1717,6 +1810,7 @@ _PTS = f"WITH pts AS ({EVENT_LONLAT_SQL})"
 
 ORACLE = {
     "fingerprints": fingerprint_sql(),
+    "token_quantiles_by_lang": TOKEN_QUANTILES_BY_LANG_SQL,
     "events_hopping": (
         "WITH two AS ("
         "SELECT event_type, (epoch_us(ts) // 1000000 // 1800) * 1800 AS win_start, value FROM events "
@@ -2040,6 +2134,7 @@ ORACLE = {
     # (splitmix hashes, violation bands, keep-first window, cell
     # arithmetic, ray-cast PIP) — see pipelines/sql_hash.py
     "flagship_tile_stats": _sqh.flagship_tile_stats_sql(_sqh.DOCS_X4_SERIES_SQL),
+    "image_dims_hist": _sqh.image_dims_hist_sql(_sqh.DOCS_X4_SERIES_SQL),
     # brute-force word-3-gram Jaccard: the miner has EXACT recall
     # (PPJoin prefix filter, stages/dedup.py), so the full O(n^2)
     # gram-intersection join reproduces its output at oracle scale.

@@ -196,6 +196,51 @@ def flagship_tile_stats_sql(series_sql: str, seed: int = 42) -> str:
     )
 
 
+def image_dims_hist_sql(series_sql: str, seed: int = 42) -> str:
+    """(fmt, w, h) histogram of the synthetic image table, re-derived
+    from generator arithmetic (synth.gen_images_batch): w = 16 +
+    hash_u64(i, seed) % 49, h = 16 + hash_u64(i, seed^0xFEED) % 49,
+    fmt = FMTS[splitmix64(h1 ^ h2) % 3], with the violation-band
+    overrides (V_BAD_FMT→'bmp', V_ZERO_W→w=0, V_NEG_H→h=-1,
+    V_DIM_MISMATCH→w+1) applied exactly as the generator does — so a
+    column-pruned read of the materialized parquet must reproduce it."""
+    from fairy_core_ray.sources.synth import (
+        FMTS,
+        V_BAD_FMT,
+        V_DIM_MISMATCH,
+        V_NEG_H,
+        V_ZERO_W,
+        VIOLATION_MOD,
+    )
+
+    inner = (
+        f"SELECT i, i % {VIOLATION_MOD} AS band, "
+        f"{seeded_input('i', seed)} AS h1, "
+        f"{seeded_input('i', seed ^ 0xFEED)} AS h2 "
+        f"FROM ({series_sql})"
+    )
+    hashed = hash_stage_cte(inner, ["h1", "h2"], ["i", "band"])
+    fmt_inner = f"SELECT band, h1, h2, xor(h1, h2) AS hf FROM ({hashed})"
+    hashed2 = hash_stage_cte(fmt_inner, ["hf"], ["band", "h1", "h2"])
+    fmt_case = " ".join(
+        f"WHEN {k} THEN '{f}'" for k, f in enumerate(FMTS)
+    )
+    return (
+        f"WITH g AS ({hashed2}), "
+        "dims AS (SELECT band, "
+        "CAST(16 + h1 % 49 AS BIGINT) AS w0, "
+        "CAST(16 + h2 % 49 AS BIGINT) AS h0, "
+        f"CASE CAST(hf % 3 AS BIGINT) {fmt_case} END AS fmt0 FROM g) "
+        "SELECT "
+        f"CASE WHEN band = {V_BAD_FMT} THEN 'bmp' ELSE fmt0 END AS fmt, "
+        f"CAST(CASE band WHEN {V_ZERO_W} THEN 0 WHEN {V_DIM_MISMATCH} "
+        "THEN w0 + 1 ELSE w0 END AS BIGINT) AS w, "
+        f"CAST(CASE band WHEN {V_NEG_H} THEN -1 ELSE h0 END AS BIGINT) AS h, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM dims GROUP BY 1, 2, 3"
+    )
+
+
 # Index series 0..4*count(documents)-1 — the exact corpus size
 # q_flagship_tile_stats materializes for a given sf_dir (queries.py),
 # derived from the documents VIEW so the oracle is sf-independent.

@@ -309,6 +309,47 @@ def _candidate_pairs(ids_all: np.ndarray, comb_sorted: np.ndarray) -> set[tuple]
     return pairs
 
 
+# Pair emission / count folds shuffle by hash(key) % PAIR_FOLD_BUCKETS
+# instead of by raw key: one vectorized map_groups call per BUCKET (~256
+# total) instead of one per key. For gram-keyed postings the key space is
+# the corpus vocabulary (unbounded at 10^12 rows) — per-key dispatch is
+# the tiny-group overhead the distance join already measured and fixed.
+PAIR_FOLD_BUCKETS = 256
+
+
+def _with_fold_bucket(df: pd.DataFrame, key: str = "g") -> pd.DataFrame:
+    """Attach ``fb`` = hash(key) % PAIR_FOLD_BUCKETS. splitmix64 for
+    integer keys; pandas hash_array (fixed default key — deterministic
+    across processes) for string/object keys."""
+    vals = df[key]
+    if vals.dtype.kind in "iu":
+        h = splitmix64(vals.to_numpy(np.int64).view(np.uint64))
+    else:
+        h = pd.util.hash_array(vals.to_numpy(), categorize=False)
+    df = df.copy()
+    df["fb"] = (h % np.uint64(PAIR_FOLD_BUCKETS)).astype(np.int64)
+    return df
+
+
+def _emit_fold_bucket_pairs(
+    grp: pd.DataFrame, max_bucket: int, key: str = "g"
+) -> pd.DataFrame:
+    """Vectorized pair emission for ONE hash-fold bucket holding many
+    keys: per-key raw-size guard (identical to _emit_bucket_id_pairs'
+    ``len(g) > max_bucket``), then distinct unordered id pairs per key
+    via a C-level self-merge — no per-key Python dispatch. Guarded keys
+    have <= max_bucket rows, so the merge blow-up is bounded by
+    max_bucket x bucket rows."""
+    k = grp[key].to_numpy(np.int64)
+    codes, _ = pd.factorize(k, sort=False)
+    raw = np.bincount(codes)[codes]
+    df = pd.DataFrame({"k": k, "id": grp["id"].to_numpy()})
+    df = df[raw <= max_bucket].drop_duplicates()
+    j = df.merge(df, on="k")
+    out = j.loc[j["id_x"] < j["id_y"], ["id_x", "id_y"]].drop_duplicates()
+    return out.rename(columns={"id_x": "id_a", "id_y": "id_b"})
+
+
 def _emit_bucket_id_pairs(g: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
     """Distinct unordered id pairs of ONE bucket group — the map_groups
     body that replaces driver-side pair enumeration in the big paths.
@@ -995,36 +1036,60 @@ def ngram_jaccard_pairs(
         pairs = _candidate_pairs(idp[keep], gp[keep].view(np.int64))
     elif n_docs is not None and n_docs > NGRAM_BROADCAST_DOCS:
         # count-join path: the vocabulary never materializes anywhere —
-        # per-gram counts attach inside a groupby(g) shuffle, each doc
-        # prefix-filters inside a groupby(id) shuffle (same _prefix_filter
-        # kernel, identical tie-breaks), and pairs emit per gram. Three
-        # shuffles of the posting table, zero corpus-proportional driver
-        # or broadcast state; used only above the broadcast budget.
+        # per-gram counts attach inside a gram-bucket shuffle, docs
+        # prefix-filter inside an id-bucket shuffle (same _prefix_filter
+        # kernel, identical tie-breaks), and pairs emit per gram bucket.
+        # Three shuffles of the posting table, zero corpus-proportional
+        # driver or broadcast state; every shuffle keys on hash(key) %
+        # PAIR_FOLD_BUCKETS so map_groups dispatches ~256 vectorized
+        # calls, not one per gram/doc (the vocabulary is unbounded at
+        # this path's scale). Used only above the broadcast budget.
         posting_i64 = posting_src.map_batches(
-            lambda df: (lambda out: out.assign(
-                g=out["g"].to_numpy(np.uint64).view(np.int64)
-            ))(explode(df)),
+            lambda df: _with_fold_bucket(
+                (lambda out: out.assign(
+                    g=out["g"].to_numpy(np.uint64).view(np.int64)
+                ))(explode(df))
+            ),
             batch_format="pandas",
         )
-        with_counts = posting_i64.groupby("g").map_groups(
-            lambda grp: grp.assign(n=np.int64(len(grp))), batch_format="pandas"
+
+        def count_bucket(grp: pd.DataFrame) -> pd.DataFrame:
+            # all rows of a gram share its fold bucket, so the in-bucket
+            # bincount IS the global per-gram posting count
+            codes, _ = pd.factorize(grp["g"].to_numpy(np.int64), sort=False)
+            return pd.DataFrame(
+                {
+                    "g": grp["g"].to_numpy(np.int64),
+                    "id": grp["id"].to_numpy(),
+                    "n": np.bincount(codes)[codes].astype(np.int64),
+                }
+            )
+
+        with_counts = posting_i64.groupby("fb").map_groups(
+            count_bucket, batch_format="pandas"
+        ).map_batches(
+            lambda df: _with_fold_bucket(df, key="id"), batch_format="pandas"
         )
 
-        def doc_prefix(grp: pd.DataFrame) -> pd.DataFrame:
+        def doc_prefix_bucket(grp: pd.DataFrame) -> pd.DataFrame:
+            # _prefix_filter is already multi-doc (factorizes ids), so
+            # one call covers every doc in the bucket
             gp_d, idp_d = _prefix_filter(
                 grp["g"].to_numpy(np.int64).view(np.uint64),  # u64 tie-break order
                 grp["id"].to_numpy(),
                 grp["n"].to_numpy(np.int64),
                 threshold,
             )
-            return pd.DataFrame({"g": gp_d.view(np.int64), "id": idp_d})
+            return _with_fold_bucket(
+                pd.DataFrame({"g": gp_d.view(np.int64), "id": idp_d})
+            )
 
         pairs_ds = (
-            with_counts.groupby("id")
-            .map_groups(doc_prefix, batch_format="pandas")
-            .groupby("g")
+            with_counts.groupby("fb")
+            .map_groups(doc_prefix_bucket, batch_format="pandas")
+            .groupby("fb")
             .map_groups(
-                lambda grp: _emit_bucket_id_pairs(grp, max_posting),
+                lambda grp: _emit_fold_bucket_pairs(grp, max_posting),
                 batch_format="pandas",
             )
         )
@@ -1055,16 +1120,20 @@ def ngram_jaccard_pairs(
             # int64 gram key: u64 keys can mis-compare through the Ray
             # groupby shuffle; numpy-indexed result keeps columns on
             # empty batches
-            return pd.DataFrame({"g": gp_b.view(np.int64), "id": idp_b})
+            return _with_fold_bucket(
+                pd.DataFrame({"g": gp_b.view(np.int64), "id": idp_b})
+            )
 
         # distributed pair enumeration: the prefix-filtered posting rows
-        # shuffle ONCE by gram and pairs (with the hot-gram guard) emit
-        # inside map_groups — the driver folds only the deduped pair set
+        # shuffle ONCE by gram fold-bucket and pairs (with the hot-gram
+        # guard) emit per bucket — ~256 vectorized map_groups calls, not
+        # one per distinct prefix gram. The driver folds only the
+        # deduped pair set.
         pairs_ds = (
             posting_src.map_batches(explode_filtered, batch_format="pandas")
-            .groupby("g")
+            .groupby("fb")
             .map_groups(
-                lambda grp: _emit_bucket_id_pairs(grp, max_posting),
+                lambda grp: _emit_fold_bucket_pairs(grp, max_posting),
                 batch_format="pandas",
             )
         )

@@ -538,6 +538,34 @@ class TestNgramBigPathParity:
         cj = dd.ngram_jaccard_pairs(ds, n=3, threshold=0.5, max_posting=60)
         assert small.equals(cj)
 
+    def test_fold_bucket_pair_emit_matches_per_key(self):
+        """_emit_fold_bucket_pairs (one vectorized call over a hash
+        bucket of many keys) must emit exactly the per-key
+        _emit_bucket_id_pairs union: hot-key guard on RAW rows,
+        duplicate (key, id) rows collapsed, id_a < id_b."""
+        rng = np.random.default_rng(11)
+        n = 4000
+        grp = pd.DataFrame(
+            {
+                "g": rng.integers(0, 300, n).astype(np.int64),
+                "id": rng.integers(0, 60, n).astype(np.int64),
+            }
+        )
+        # one guaranteed-hot key and one singleton key
+        hot = pd.DataFrame({"g": np.full(40, 999, np.int64), "id": np.arange(40)})
+        single = pd.DataFrame({"g": [1000], "id": [7]})
+        grp = pd.concat([grp, hot, single], ignore_index=True)
+        max_bucket = 25
+        got = dd._emit_fold_bucket_pairs(grp, max_bucket)
+        want = set()
+        for _, sub in grp.groupby("g"):
+            p = dd._emit_bucket_id_pairs(
+                sub.rename(columns={"g": "k"}), max_bucket
+            )
+            want.update(zip(p["id_a"].tolist(), p["id_b"].tolist()))
+        assert set(zip(got["id_a"].tolist(), got["id_b"].tolist())) == want
+        assert (got["id_a"] < got["id_b"]).all()
+
     def test_distributed_count_fold_parity(self, corpus, monkeypatch):
         """Forcing the distributed bucket-count fold (the branch that at
         corpus scale keeps the O(docs x bands) count table off the
