@@ -977,10 +977,100 @@ WINDOW_TOP_USERS_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# greedy sequence packing (training-sample assembly)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256  # tokens per training sequence
+_PACK_BUCKETS = 16  # independent packing streams (hash-partitioned)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Greedy concat-packing of documents into fixed-token-budget
+    training sequences — the sample-assembly step of an LLM data
+    pipeline. Docs hash-partition into _PACK_BUCKETS independent
+    streams (each packer only needs ITS stream: embarrassingly
+    parallel, deterministic, resumable per bucket); within a bucket,
+    docs pack in doc_id order first-fit-sequential: a doc joins the
+    open sequence unless it would exceed the budget, oversized docs
+    get a sequence of their own. The in-bucket packer is O(sequences)
+    searchsorted steps over the token cumsum, not a per-doc Python
+    loop. Oracle: a recursive CTE walking the identical recurrence."""
+    from fairy_core_ray.functions.hashing import splitmix64 as _sm
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        tok = df["text"].fillna("").astype(str).str.count("[^ ]+").to_numpy(np.int64)
+        did = df["doc_id"].to_numpy(np.int64)
+        b = (_sm(did.view(np.uint64)) % np.uint64(_PACK_BUCKETS)).astype(np.int64)
+        return pd.DataFrame({"doc_id": did, "bucket": b, "tok": tok})
+
+    def pack_bucket(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values("doc_id")
+        tok = grp["tok"].to_numpy(np.int64)
+        cs = np.cumsum(tok)
+        seq = np.empty(len(tok), np.int64)
+        i, s, base = 0, 0, 0
+        while i < len(tok):
+            j = int(np.searchsorted(cs, base + _PACK_BUDGET, side="right"))
+            j = max(j, i + 1)  # oversized doc -> its own sequence
+            seq[i:j] = s
+            base = int(cs[j - 1])
+            i, s = j, s + 1
+        return pd.DataFrame(
+            {
+                "doc_id": grp["doc_id"].to_numpy(),
+                "bucket": grp["bucket"].to_numpy(),
+                "seq": seq,
+                "tok": tok,
+            }
+        )
+
+    return (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pack_bucket, batch_format="pandas")
+    )
+
+
+def pack_sequences_sql(budget: int = _PACK_BUDGET, nb: int = _PACK_BUCKETS) -> str:
+    """Recursive-CTE oracle for q_pack_sequences: one walk step per
+    in-bucket rank (all buckets advance together), recurrence
+    seq' = seq + (fill + tok > budget), fill' = tok or fill + tok."""
+    from fairy_core_ray.pipelines.sql_hash import sm_stage1, sm_stage2, sm_stage3
+
+    inner = (
+        "SELECT doc_id, "
+        "len(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')) "
+        "AS tok, CAST(doc_id AS UBIGINT) AS hb FROM documents"
+    )
+    s1 = f"SELECT doc_id, tok, {sm_stage1('hb')} AS hb FROM ({inner})"
+    s2 = f"SELECT doc_id, tok, {sm_stage2('hb')} AS hb FROM ({s1})"
+    s3 = f"SELECT doc_id, tok, {sm_stage3('hb')} AS hb FROM ({s2})"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, CAST(hb % {nb} AS BIGINT) AS bucket, CAST(tok AS BIGINT) AS tok,
+         row_number() OVER (PARTITION BY hb % {nb} ORDER BY doc_id) AS rn
+  FROM ({s3})
+),
+walk AS (
+  SELECT bucket, rn, doc_id, tok, CAST(0 AS BIGINT) AS seq, tok AS fill
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.bucket, b.rn, b.doc_id, b.tok,
+         CASE WHEN w.fill + b.tok > {budget} THEN w.seq + 1 ELSE w.seq END,
+         CASE WHEN w.fill + b.tok > {budget} THEN b.tok ELSE w.fill + b.tok END
+  FROM walk w JOIN base b ON b.bucket = w.bucket AND b.rn = w.rn + 1
+)
+SELECT doc_id, bucket, seq, tok FROM walk
+"""
+
+
+# ---------------------------------------------------------------------------
 # registries (merged into queries.QUERIES / queries.ORACLE)
 # ---------------------------------------------------------------------------
 
 EXT2_QUERIES = {
+    "pack_sequences": q_pack_sequences,
     "phash_dup_clusters": q_phash_dup_clusters,
     "bloom_semijoin": q_bloom_semijoin,
     "nearest_site_join": q_nearest_site_join,
@@ -1015,6 +1105,7 @@ EXT2_ORACLE = {
     # deterministic — see hll_sql(); error bound vs exact count pinned in
     # test_queries_ext2.py
     "approx_distinct_users": hll_sql(),
+    "pack_sequences": pack_sequences_sql(),
 }
 
 from fairy_core_ray.pipelines import queries as _q  # noqa: E402

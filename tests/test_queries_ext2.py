@@ -214,6 +214,63 @@ def test_hll_sql_linear_branch_small():
     assert int(sql_est) == int(py_est)
 
 
+def test_pack_sequences_matches_greedy_reference(ray_session, tmp_path):
+    """The searchsorted packer must equal the per-doc greedy recurrence
+    (seq' = seq + (fill+tok > B)) on adversarial token streams: oversized
+    docs (own sequence, next doc starts fresh), exact budget fits,
+    zero-token docs (always join), runs of tiny docs."""
+    rng = np.random.default_rng(5)
+    toks = np.concatenate(
+        [
+            rng.integers(0, 40, 200),          # tiny docs
+            [qx2._PACK_BUDGET],                # exact fit
+            [qx2._PACK_BUDGET + 1, 900],       # oversized
+            np.zeros(10, np.int64),            # empties
+            rng.integers(100, 300, 100),       # mixed
+        ]
+    ).astype(np.int64)
+    # drive through the real query by synthesizing texts with exactly
+    # that many words; the reference loop groups by the same bucket fn
+    texts = [" ".join(["w"] * int(t)) for t in toks]
+    df = pd.DataFrame({"doc_id": np.arange(len(toks), dtype=np.int64), "text": texts})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.to_parquet(sf / "documents.parquet", index=False)
+    got = (
+        qx2.q_pack_sequences(str(sf))
+        .to_pandas()
+        .sort_values(["bucket", "doc_id"])
+        .reset_index(drop=True)
+    )
+    # reference: per-doc greedy per bucket
+    from fairy_core_ray.functions.hashing import splitmix64
+
+    b = (
+        splitmix64(df["doc_id"].to_numpy(np.int64).view(np.uint64))
+        % np.uint64(qx2._PACK_BUCKETS)
+    ).astype(np.int64)
+    ref_rows = []
+    for bucket in sorted(set(b.tolist())):
+        ids = df["doc_id"].to_numpy()[b == bucket]
+        ts = toks[b == bucket]
+        seq, fill = 0, 0
+        first = True
+        for did, t in sorted(zip(ids.tolist(), ts.tolist())):
+            if first:
+                fill, first = t, False
+            elif fill + t > qx2._PACK_BUDGET:
+                seq, fill = seq + 1, t
+            else:
+                fill += t
+            ref_rows.append((did, bucket, seq, t))
+    ref = pd.DataFrame(ref_rows, columns=["doc_id", "bucket", "seq", "tok"])
+    ref = ref.sort_values(["bucket", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), ref.astype("int64"))
+    # invariant: no sequence of >1 doc exceeds the budget
+    sums = got.groupby(["bucket", "seq"]).agg(n=("tok", "size"), s=("tok", "sum"))
+    assert (sums[sums["n"] > 1]["s"] <= qx2._PACK_BUDGET).all()
+
+
 def test_compact_expansion_identity_and_minimality(ray_session):
     """compacted set must (a) expand back to exactly the input leaf
     cells and (b) contain no complete 4-sibling group above the floor
