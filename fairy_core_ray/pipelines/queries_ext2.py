@@ -1066,11 +1066,104 @@ SELECT doc_id, bucket, seq, tok FROM walk
 
 
 # ---------------------------------------------------------------------------
+# repetition stats (Gopher-style quality signals, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_stats(sf_dir: str):
+    """Per-document repetition signals for quality filtering (the
+    Gopher/C4 family): n_words, top_word_n (occurrences of the most
+    frequent word) and dup_2gram_n (word-2-gram occurrences beyond the
+    first). Counts stay INTEGER — the filter thresholds divide
+    downstream — so the oracle compares exactly, no float rounding.
+    One map_batches pass; docs never span batches, so per-doc folds are
+    batch-local (zero shuffle)."""
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("").astype(str)
+        did = df["doc_id"].to_numpy(np.int64)
+        lists = s.str.findall("[^ ]+")
+        lens = lists.str.len().to_numpy(np.int64)
+        if lens.sum():
+            flat = pd.DataFrame(
+                {
+                    "d": np.repeat(did, lens),
+                    "w": np.concatenate([np.asarray(x, object) for x in lists]),
+                }
+            )
+            wc = flat.groupby(["d", "w"], sort=False).size()
+            top = wc.groupby(level=0).max()
+            darr = flat["d"].to_numpy()
+            same = darr[:-1] == darr[1:]
+            grams = pd.DataFrame(
+                {
+                    "d": darr[:-1][same],
+                    "g": (
+                        flat["w"].to_numpy()[:-1][same]
+                        + "\x1f"
+                        + flat["w"].to_numpy()[1:][same]
+                    ),
+                }
+            )
+            gtot = grams.groupby("d", sort=False).size()
+            gdis = grams.groupby("d", sort=False)["g"].nunique()
+        else:
+            top = pd.Series(dtype=np.int64)
+            gtot = pd.Series(dtype=np.int64)
+            gdis = pd.Series(dtype=np.int64)
+        out = pd.DataFrame({"doc_id": did})
+        out["n_words"] = pd.Series(lens, index=out.index)
+        out["top_word_n"] = out["doc_id"].map(top).fillna(0).astype(np.int64)
+        out["dup_2gram_n"] = (
+            out["doc_id"].map(gtot).fillna(0) - out["doc_id"].map(gdis).fillna(0)
+        ).astype(np.int64)
+        return out
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        stats, batch_format="pandas"
+    )
+
+
+REPETITION_STATS_SQL = """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS l
+  FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(l) AS w, unnest(range(1, len(l) + 1)) AS rn FROM lists
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words FROM w GROUP BY 1),
+topw AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_n
+  FROM (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2) GROUP BY 1
+),
+g AS (
+  SELECT a.doc_id, a.w || chr(31) || b.w AS g
+  FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+),
+g2 AS (
+  SELECT doc_id,
+         CAST(count(*) - count(DISTINCT g) AS BIGINT) AS dup_2gram_n
+  FROM g GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(tot.n_words, 0) AS n_words,
+       COALESCE(topw.top_word_n, 0) AS top_word_n,
+       COALESCE(g2.dup_2gram_n, 0) AS dup_2gram_n
+FROM documents d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN topw ON d.doc_id = topw.doc_id
+LEFT JOIN g2 ON d.doc_id = g2.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registries (merged into queries.QUERIES / queries.ORACLE)
 # ---------------------------------------------------------------------------
 
 EXT2_QUERIES = {
     "pack_sequences": q_pack_sequences,
+    "repetition_stats": q_repetition_stats,
     "phash_dup_clusters": q_phash_dup_clusters,
     "bloom_semijoin": q_bloom_semijoin,
     "nearest_site_join": q_nearest_site_join,
@@ -1106,6 +1199,7 @@ EXT2_ORACLE = {
     # test_queries_ext2.py
     "approx_distinct_users": hll_sql(),
     "pack_sequences": pack_sequences_sql(),
+    "repetition_stats": REPETITION_STATS_SQL,
 }
 
 from fairy_core_ray.pipelines import queries as _q  # noqa: E402

@@ -271,6 +271,54 @@ def test_pack_sequences_matches_greedy_reference(ray_session, tmp_path):
     assert (sums[sums["n"] > 1]["s"] <= qx2._PACK_BUDGET).all()
 
 
+def test_repetition_stats_edge_docs(ray_session, tmp_path):
+    """Integer repetition counters on adversarial docs: empty, single
+    word, all-same word (top_word_n == n_words, dup_2gram_n == n-2+1-1),
+    alternating pair (every 2-gram after the first two is a repeat),
+    multi-space runs."""
+    texts = [
+        "",
+        "solo",
+        "a a a a a a",            # n=6, top=6, 2grams: 5 total 1 distinct
+        "x y x y x y x y",        # n=8, top=4, 2grams: 7 total 2 distinct
+        "p  q   p",               # multi-space: n=3, top=2
+        None,
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.to_parquet(sf / "documents.parquet", index=False)
+    got = (
+        qx2.q_repetition_stats(str(sf))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "n_words": np.array([0, 1, 6, 8, 3, 0], np.int64),
+            "top_word_n": np.array([0, 1, 6, 4, 2, 0], np.int64),
+            "dup_2gram_n": np.array([0, 0, 4, 5, 0, 0], np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # and the SQL oracle agrees on the same frame
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (
+        con.sql(qx2.REPETITION_STATS_SQL)
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    con.close()
+    pd.testing.assert_frame_equal(sql, want)
+
+
 def test_compact_expansion_identity_and_minimality(ray_session):
     """compacted set must (a) expand back to exactly the input leaf
     cells and (b) contain no complete 4-sibling group above the floor
