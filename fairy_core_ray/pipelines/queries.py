@@ -1569,9 +1569,11 @@ def q_token_quantiles(sf_dir: str):
     no corpus-wide sort."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        s = df["text"].fillna("").astype(str)
-        counts = np.array(
-            [len([w for w in t.split(" ") if w]) for t in s], dtype=np.int64
+        # one C-level regex pass: non-empty space-split segments are
+        # exactly the maximal [^ ]+ runs (token_quantiles_by_lang uses
+        # the identical kernel; SQL-oracle-pinned)
+        counts = (
+            df["text"].fillna("").astype(str).str.count("[^ ]+").to_numpy(np.int64)
         )
         vals, n = np.unique(counts, return_counts=True)
         return pd.DataFrame({"v": vals, "n": n.astype(np.int64)})
@@ -1584,22 +1586,11 @@ def q_token_quantiles(sf_dir: str):
     hist = allp.groupby("v", sort=True)["n"].sum()
     vals = hist.index.to_numpy(np.int64)
     cnts = hist.to_numpy(np.int64)
-    total = int(cnts.sum())
-    cum = np.cumsum(cnts)
-
-    def quantile_cont(q: float) -> float:
-        # identical interpolation to DuckDB/PostgreSQL percentile_cont
-        pos = (total - 1) * q
-        lo_i, frac = int(np.floor(pos)), pos - np.floor(pos)
-        lo = vals[np.searchsorted(cum, lo_i + 1)]
-        hi = vals[np.searchsorted(cum, min(lo_i + 1, total - 1) + 1)]
-        return float(lo) + frac * (float(hi) - float(lo))
-
     return pd.DataFrame(
         {
-            "p50": [round(quantile_cont(0.5), 6)],
-            "p90": [round(quantile_cont(0.9), 6)],
-            "p99": [round(quantile_cont(0.99), 6)],
+            "p50": [round(_hist_quantile_cont(vals, cnts, 0.5), 6)],
+            "p90": [round(_hist_quantile_cont(vals, cnts, 0.9), 6)],
+            "p99": [round(_hist_quantile_cont(vals, cnts, 0.99), 6)],
         }
     )
 
