@@ -1607,56 +1607,6 @@ def _hist_quantile_cont(vals: np.ndarray, cnts: np.ndarray, q: float) -> float:
     return float(lo) + frac * (float(hi) - float(lo))
 
 
-def q_token_quantiles_by_lang(sf_dir: str):
-    """GROUPED exact token-count quantiles (p50/p90/p99 per lang) from
-    distributed (lang, count) histogram partials: token counts are small
-    ints and languages few, so per-batch histograms merge exactly and
-    the driver fold is O(langs x distinct counts), corpus-independent.
-    Token counting is one vectorized regex pass (Series.str.count), not
-    a per-doc Python loop."""
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        c = (
-            df["text"].fillna("").astype(str).str.count("[^ ]+").to_numpy(np.int64)
-        )
-        out = (
-            pd.DataFrame({"lang": df["lang"].to_numpy(), "v": c})
-            .groupby(["lang", "v"], sort=False)
-            .size()
-            .rename("n")
-            .reset_index()
-        )
-        return out
-
-    parts = _t(sf_dir, "documents", ["lang", "text"]).map_batches(
-        partial, batch_format="pandas"
-    )
-    folded = dd._fold_counts(parts, ["lang", "v"])
-    rows = []
-    for lang, grp in folded.groupby("lang", sort=True):
-        grp = grp.sort_values("v")
-        vals = grp["v"].to_numpy(np.int64)
-        cnts = grp["n"].to_numpy(np.int64)
-        rows.append(
-            {
-                "lang": lang,
-                "p50": round(_hist_quantile_cont(vals, cnts, 0.5), 6),
-                "p90": round(_hist_quantile_cont(vals, cnts, 0.9), 6),
-                "p99": round(_hist_quantile_cont(vals, cnts, 0.99), 6),
-            }
-        )
-    return pd.DataFrame(rows)
-
-
-TOKEN_QUANTILES_BY_LANG_SQL = (
-    "SELECT lang, round(quantile_cont(c, 0.5), 6) AS p50, "
-    "round(quantile_cont(c, 0.9), 6) AS p90, "
-    "round(quantile_cont(c, 0.99), 6) AS p99 FROM ("
-    "SELECT lang, len(list_filter(string_split(text, ' '), x -> x <> '')) AS c "
-    "FROM documents) GROUP BY lang"
-)
-
-
 def q_neardup_clusters(sf_dir: str):
     """connected components over the EXACT embedding near-dup pair set
     (same threshold as embed_neardup) → (id, rep) canonical clusters,
@@ -1787,7 +1737,6 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
     "image_dims_hist": q_image_dims_hist,
-    "token_quantiles_by_lang": q_token_quantiles_by_lang,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ngram_pairs": q_ngram_pairs,
@@ -1801,7 +1750,6 @@ _PTS = f"WITH pts AS ({EVENT_LONLAT_SQL})"
 
 ORACLE = {
     "fingerprints": fingerprint_sql(),
-    "token_quantiles_by_lang": TOKEN_QUANTILES_BY_LANG_SQL,
     "events_hopping": (
         "WITH two AS ("
         "SELECT event_type, (epoch_us(ts) // 1000000 // 1800) * 1800 AS win_start, value FROM events "
