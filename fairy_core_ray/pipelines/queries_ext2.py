@@ -32,6 +32,7 @@ from fairy_core_ray.pipelines.queries import (
     _t,
     event_lonlat,
 )
+from fairy_core_ray.functions.folds import fold_to_pandas
 from fairy_core_ray.stages import dedup as dd
 from fairy_core_ray.stages import knn as knn_mod
 
@@ -185,12 +186,11 @@ def q_bloom_semijoin(sf_dir: str):
         )
         return g.reset_index()
 
-    parts = list(
+    allp = fold_to_pandas(
         _t(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"], split=8)
         .map_batches(agg, batch_format="pandas")
-        .iter_batches(batch_size=None, batch_format="pandas")
     )
-    if not parts:
+    if allp is None:
         return pd.DataFrame(
             {
                 "l_returnflag": pd.Series([], dtype=str),
@@ -198,7 +198,6 @@ def q_bloom_semijoin(sf_dir: str):
                 "sum_qty": pd.Series([], dtype=np.float64),
             }
         )
-    allp = pd.concat(parts, ignore_index=True)
     out = (
         allp.groupby("l_returnflag", sort=True)
         .agg(n_items=("p_n", "sum"), sum_qty=("p_qty", "sum"))
@@ -454,16 +453,11 @@ def q_event_value_hist(sf_dir: str):
         u, c = np.unique(b, return_counts=True)
         return pd.DataFrame({"bin": u, "n": c.astype(np.int64)})
 
-    parts = list(
-        ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_size=None, batch_format="pandas"
-        )
-    )
-    if not parts:
+    allp = fold_to_pandas(ds.map_batches(partial, batch_format="pyarrow"))
+    if allp is None:
         return pd.DataFrame(
             {"bin": pd.Series([], dtype=np.int64), "n": pd.Series([], dtype=np.int64)}
         )
-    allp = pd.concat(parts, ignore_index=True)
     out = allp.groupby("bin", sort=True)["n"].sum().reset_index()
     out["bin"] = out["bin"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
@@ -826,12 +820,8 @@ def q_order_lineitem_join(sf_dir: str):
         )
         return g.reset_index()
 
-    parts = list(
-        joined.map_batches(partial, batch_format="pandas").iter_batches(
-            batch_size=None, batch_format="pandas"
-        )
-    )
-    if not parts:
+    allp = fold_to_pandas(joined.map_batches(partial, batch_format="pandas"))
+    if allp is None:
         return pd.DataFrame(
             {
                 "o_orderpriority": pd.Series([], dtype=str),
@@ -839,7 +829,6 @@ def q_order_lineitem_join(sf_dir: str):
                 "revenue": pd.Series([], dtype=np.float64),
             }
         )
-    allp = pd.concat(parts, ignore_index=True)
     out = (
         allp.groupby("o_orderpriority", sort=True)
         .agg(n_items=("p_n", "sum"), revenue=("p_rev", "sum"))

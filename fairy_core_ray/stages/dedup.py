@@ -97,13 +97,10 @@ def _fold_counts(ds_partials, keys: list[str]) -> pd.DataFrame:
     row per distinct key per batch — for sketch/posting tables this is
     orders of magnitude smaller than a Ray sort-based groupby's shuffle,
     which measured ~40 s on an 80k-row string-keyed table."""
-    frames = [
-        b for b in ds_partials.iter_batches(batch_size=None, batch_format="pandas")
-    ]
-    if not frames:
-        return pd.DataFrame({k: [] for k in keys} | {"n": []})
-    allp = pd.concat(frames, ignore_index=True)
-    if allp.empty:
+    from fairy_core_ray.functions.folds import fold_to_pandas
+
+    allp = fold_to_pandas(ds_partials)
+    if allp is None or allp.empty:
         return pd.DataFrame({k: [] for k in keys} | {"n": []})
     return allp.groupby(keys, sort=False)["n"].sum().reset_index()
 
@@ -158,14 +155,11 @@ def keep_first(
             g.columns = ["key", "keep_ord", "n"]
             return g
 
-        allp = pd.concat(
-            list(
-                ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-                    batch_size=None, batch_format="pandas"
-                )
-            ),
-            ignore_index=True,
-        )
+        from fairy_core_ray.functions.folds import fold_to_pandas
+
+        allp = fold_to_pandas(ds.map_batches(partial, batch_format="pyarrow"))
+        if allp is None:
+            allp = pd.DataFrame({"key": [], "keep_ord": [], "n": []})
         agg_pdf = allp.groupby("key", sort=False).agg(
             keep_ord=("keep_ord", "min"), n=("n", "sum")
         ).reset_index()
@@ -882,13 +876,10 @@ def simhash_pairs(
             batch_format="pandas",
         )
     )
-    frames = list(verified.iter_batches(batch_size=None, batch_format="pandas"))
-    allp = (
-        pd.concat(frames, ignore_index=True)
-        if frames
-        else pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-    )
-    if not len(allp):
+    from fairy_core_ray.functions.folds import fold_to_pandas
+
+    allp = fold_to_pandas(verified)
+    if allp is None or not len(allp):
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
     allp = allp.drop_duplicates(["id_a", "id_b"])
     allp["hamming"] = allp["hamming"].astype(np.int64)
@@ -945,7 +936,8 @@ def hamming_band_pairs(
             batch_format="pandas",
         )
     )
-    frames = list(verified.iter_batches(batch_size=None, batch_format="pandas"))
+    from fairy_core_ray.functions.folds import fold_to_pandas
+
     empty = pd.DataFrame(
         {
             "id_a": pd.Series([], dtype=np.int64),
@@ -953,10 +945,8 @@ def hamming_band_pairs(
             "hamming": pd.Series([], dtype=np.int64),
         }
     )
-    if not frames:
-        return empty
-    allp = pd.concat(frames, ignore_index=True)
-    if not len(allp):
+    allp = fold_to_pandas(verified)
+    if allp is None or not len(allp):
         return empty
     allp = allp.drop_duplicates(["id_a", "id_b"])
     allp["hamming"] = allp["hamming"].astype(np.int64)
