@@ -744,13 +744,15 @@ def q_token_quantiles_by_lang(sf_dir: str):
         g["n"] = g["n"].astype(np.int64)
         return g
 
-    parts = _t(sf_dir, "documents", ["text", "lang"]).map_batches(
-        partial, batch_format="pandas"
+    from fairy_core_ray.functions.folds import fold_to_pandas
+
+    allp = fold_to_pandas(
+        _t(sf_dir, "documents", ["text", "lang"]).map_batches(
+            partial, batch_format="pandas"
+        )
     )
-    allp = pd.concat(
-        list(parts.iter_batches(batch_size=None, batch_format="pandas")),
-        ignore_index=True,
-    )
+    if allp is None:
+        return pd.DataFrame({"lang": [], "p50": [], "p90": [], "p99": []})
     rows = []
     for lang, grp in allp.groupby("lang", sort=True):
         hist = grp.groupby("v", sort=True)["n"].sum()
@@ -877,14 +879,11 @@ def q_tfidf_top_term(sf_dir: str):
         codes, uniq = pd.factorize(flat, sort=False)
         return pd.DataFrame({"w": uniq, "n": np.bincount(codes).astype(np.int64)})
 
-    dfp = pd.concat(
-        list(
-            docs.map_batches(df_partial, batch_format="pandas").iter_batches(
-                batch_size=None, batch_format="pandas"
-            )
-        ),
-        ignore_index=True,
-    )
+    from fairy_core_ray.functions.folds import fold_to_pandas
+
+    dfp = fold_to_pandas(docs.map_batches(df_partial, batch_format="pandas"))
+    if dfp is None:
+        dfp = pd.DataFrame({"w": pd.Series([], dtype=object), "n": []})
     dftab = dfp.groupby("w", sort=False)["n"].sum()
     df_map = {w: int(n) for w, n in dftab.items()}
     dref = ray.put(df_map)
