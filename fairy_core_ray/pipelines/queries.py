@@ -1137,6 +1137,64 @@ def q_image_dims_hist(sf_dir: str):
     return folded.sort_values(["fmt", "w", "h"]).reset_index(drop=True)
 
 
+def q_aspect_buckets(sf_dir: str):
+    """aspect-ratio bucketing for training-batch assembly (SDXL-style):
+    every valid-dim image lands in one of five integer-exact aspect
+    classes (cross-multiplied w/h thresholds 0.5, 0.8, 1.25, 2.0 — no
+    float ratio exists to disagree on), histogrammed per (bucket, fmt)
+    with per-bucket max dims for pad-size planning. Column-pruned read
+    (3 of 7 columns), vectorized np.select per batch, per-batch count
+    partials, one tiny fold — no raw-row shuffle at any scale.
+    Oracle: sql_hash.aspect_buckets_sql (dims re-derived from generator
+    arithmetic, same CASE boundaries)."""
+    import pyarrow.parquet as pq
+
+    from fairy_core_ray.sources.synth import ensure_image_dataset
+
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    path = ensure_image_dataset(4 * n_docs, seed=42)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].to_numpy(np.int64)
+        h = df["h"].to_numpy(np.int64)
+        m = (w > 0) & (h > 0)
+        w, h, fmt = w[m], h[m], df["fmt"].to_numpy()[m]
+        bucket = np.select(
+            [w * 2 <= h, w * 5 < h * 4, w * 4 <= h * 5, w < h * 2],
+            ["tall_2x", "tall", "square", "wide"],
+            default="wide_2x",
+        )
+        out = (
+            pd.DataFrame({"bucket": bucket, "fmt": fmt, "w": w, "h": h})
+            .groupby(["bucket", "fmt"], sort=False)
+            .agg(n_images=("w", "size"), max_w=("w", "max"), max_h=("h", "max"))
+            .reset_index()
+        )
+        for c in ("n_images", "max_w", "max_h"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    from fairy_core_ray.functions.folds import fold_to_pandas
+
+    parts = fold_to_pandas(
+        rd.read_parquet(path, columns=["fmt", "w", "h"]).map_batches(
+            partial, batch_format="pandas"
+        )
+    )
+    if parts is None:
+        return pd.DataFrame(
+            {"bucket": [], "fmt": [], "n_images": [], "max_w": [], "max_h": []}
+        )
+    out = (
+        parts.groupby(["bucket", "fmt"], sort=True)
+        .agg(n_images=("n_images", "sum"), max_w=("max_w", "max"), max_h=("max_h", "max"))
+        .reset_index()
+    )
+    for c in ("n_images", "max_w", "max_h"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 # ----- rows-only (non-SQL-expressible) operators -----
 
 
@@ -1737,6 +1795,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
     "image_dims_hist": q_image_dims_hist,
+    "aspect_buckets": q_aspect_buckets,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ngram_pairs": q_ngram_pairs,
@@ -2074,6 +2133,7 @@ ORACLE = {
     # arithmetic, ray-cast PIP) — see pipelines/sql_hash.py
     "flagship_tile_stats": _sqh.flagship_tile_stats_sql(_sqh.DOCS_X4_SERIES_SQL),
     "image_dims_hist": _sqh.image_dims_hist_sql(_sqh.DOCS_X4_SERIES_SQL),
+    "aspect_buckets": _sqh.aspect_buckets_sql(_sqh.DOCS_X4_SERIES_SQL),
     # brute-force word-3-gram Jaccard: the miner has EXACT recall
     # (PPJoin prefix filter, stages/dedup.py), so the full O(n^2)
     # gram-intersection join reproduces its output at oracle scale.

@@ -241,6 +241,31 @@ def image_dims_hist_sql(series_sql: str, seed: int = 42) -> str:
     )
 
 
+ASPECT_BUCKET_CASE = (
+    "CASE WHEN w * 2 <= h THEN 'tall_2x' "
+    "WHEN w * 5 < h * 4 THEN 'tall' "
+    "WHEN w * 4 <= h * 5 THEN 'square' "
+    "WHEN w < h * 2 THEN 'wide' "
+    "ELSE 'wide_2x' END"
+)
+
+
+def aspect_buckets_sql(series_sql: str, seed: int = 42) -> str:
+    """(bucket, fmt) histogram of the synthetic image table's VALID-dim
+    rows — SDXL-style aspect-ratio bucketing for training-batch
+    assembly, with integer-exact class boundaries (w/h thresholds 0.5,
+    0.8, 1.25, 2.0 expressed as cross-multiplied integer comparisons, so
+    no float ratio ever exists to disagree on). Reuses the dims
+    re-derivation of image_dims_hist_sql as a subquery."""
+    return (
+        f"WITH dims AS ({image_dims_hist_sql(series_sql, seed)}) "
+        f"SELECT {ASPECT_BUCKET_CASE} AS bucket, fmt, "
+        "CAST(sum(n) AS BIGINT) AS n_images, "
+        "CAST(max(w) AS BIGINT) AS max_w, CAST(max(h) AS BIGINT) AS max_h "
+        "FROM dims WHERE w > 0 AND h > 0 GROUP BY 1, 2"
+    )
+
+
 # Index series 0..4*count(documents)-1 — the exact corpus size
 # q_flagship_tile_stats materializes for a given sf_dir (queries.py),
 # derived from the documents VIEW so the oracle is sf-independent.

@@ -127,6 +127,41 @@ def test_flagship_ray_pipeline_value_pinned_vs_sql(tmp_path):
     )
 
 
+def test_aspect_buckets_matches_oracle(ray_session):
+    """Aspect-ratio bucketing (integer-exact class boundaries) vs the
+    generator-arithmetic SQL re-derivation, and basic invariants: every
+    valid-dim image lands in exactly one bucket."""
+    from fairy_core_ray.pipelines.queries import ORACLE, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        QUERIES["aspect_buckets"](sf)
+        .sort_values(["bucket", "fmt"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = (
+        con.execute(ORACLE["aspect_buckets"])
+        .fetchdf()
+        .sort_values(["bucket", "fmt"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({c: "int64" for c in ("n_images", "max_w", "max_h")}),
+        want.astype({c: "int64" for c in ("n_images", "max_w", "max_h")}),
+    )
+    # partition invariant: bucket counts sum to the valid-dim row count
+    dims = duckdb.connect().execute(
+        sqh.image_dims_hist_sql(
+            f"SELECT unnest(generate_series(0, {4 * con.execute('SELECT count(*) FROM documents').fetchone()[0] - 1})) AS i"
+        )
+    ).fetchdf()
+    assert got["n_images"].sum() == dims[(dims.w > 0) & (dims.h > 0)]["n"].sum()
+
+
 def test_ngram_oracle_sql_matches_miner_on_seeded_dups():
     """The ngram_pairs brute-force SQL == the distributed PPJoin miner
     on a corpus with seeded near-duplicates (exact recall contract)."""
