@@ -781,6 +781,79 @@ def q_token_quantiles_by_lang(sf_dir: str):
     return pd.DataFrame(rows, columns=["lang", "p50", "p90", "p99"])
 
 
+def q_quality_quantile_filter(sf_dir: str):
+    """per-language quantile cutoff filter (training-data curation's
+    quality-gate shape): drop every document whose token count falls
+    below its language's p25, report survivors per (lang, source).
+    ONE pass: per-batch (lang, source, token-count)->count histogram
+    partials fold to O(langs * sources * distinct-counts) rows; the
+    per-lang cutoff (quantile_cont interpolation, parity-proven in
+    token_quantiles_by_lang) and the survivor sums are then driver-side
+    arithmetic over that bounded table — no second corpus read, no
+    raw-row shuffle, no broadcast."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts = (
+            df["text"].fillna("").astype(str).str.count("[^ ]+").to_numpy(np.int64)
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "lang": df["lang"].to_numpy(),
+                    "source": df["source"].to_numpy(),
+                    "v": counts,
+                }
+            )
+            .groupby(["lang", "source", "v"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    from fairy_core_ray.functions.folds import fold_to_pandas
+
+    allp = fold_to_pandas(
+        _t(sf_dir, "documents", ["text", "lang", "source"]).map_batches(
+            partial, batch_format="pandas"
+        )
+    )
+    if allp is None:
+        return pd.DataFrame({"lang": [], "source": [], "n_docs": []})
+    allp = allp.groupby(["lang", "source", "v"], sort=False)["n"].sum().reset_index()
+    rows = []
+    for lang, grp in allp.groupby("lang", sort=True):
+        hist = grp.groupby("v", sort=True)["n"].sum()
+        vals = hist.index.to_numpy(np.int64)
+        cnts = hist.to_numpy(np.int64)
+        total = int(cnts.sum())
+        cum = np.cumsum(cnts)
+        # identical interpolation to DuckDB quantile_cont (parity with
+        # token_quantiles_by_lang)
+        pos = (total - 1) * 0.25
+        lo_i, frac = int(np.floor(pos)), pos - np.floor(pos)
+        lo = vals[np.searchsorted(cum, lo_i + 1)]
+        hi = vals[np.searchsorted(cum, min(lo_i + 1, total - 1) + 1)]
+        cutoff = float(lo) + frac * (float(hi) - float(lo))
+        surv = grp[grp["v"].to_numpy(np.float64) >= cutoff]
+        for src, sg in surv.groupby("source", sort=True):
+            rows.append((lang, src, int(sg["n"].sum())))
+    out = pd.DataFrame(rows, columns=["lang", "source", "n_docs"])
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out
+
+
+QUALITY_QUANTILE_FILTER_SQL = (
+    "WITH c AS (SELECT lang, source, "
+    "len(list_filter(string_split(text, ' '), x -> x <> '')) AS c "
+    "FROM documents), "
+    "cut AS (SELECT lang, quantile_cont(c, 0.25) AS q FROM c GROUP BY lang) "
+    "SELECT c.lang, c.source, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM c JOIN cut USING (lang) WHERE c.c >= cut.q "
+    "GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
 TOKEN_QUANTILES_BY_LANG_SQL = (
     "SELECT lang, round(quantile_cont(c, 0.5), 6) AS p50, "
     "round(quantile_cont(c, 0.9), 6) AS p90, "
@@ -959,6 +1032,7 @@ EXT_QUERIES = {
     "geo_distance_join": q_geo_distance_join,
     "dedup_survivors": q_dedup_survivors,
     "token_quantiles_by_lang": q_token_quantiles_by_lang,
+    "quality_quantile_filter": q_quality_quantile_filter,
     "tpch_q6": q_tpch_q6,
     "tfidf_top_term": q_tfidf_top_term,
 }
@@ -975,6 +1049,7 @@ EXT_ORACLE = {
     "geo_distance_join": GEO_DISTANCE_JOIN_SQL,
     "dedup_survivors": DEDUP_SURVIVORS_SQL,
     "token_quantiles_by_lang": TOKEN_QUANTILES_BY_LANG_SQL,
+    "quality_quantile_filter": QUALITY_QUANTILE_FILTER_SQL,
     "tpch_q6": TPCH_Q6_SQL,
     "tfidf_top_term": TFIDF_TOP_TERM_SQL,
 }
