@@ -1146,11 +1146,25 @@ LEFT JOIN g2 ON d.doc_id = g2.doc_id
 """
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup over embeddings (spherical k-means +
+    within-cluster keep-first cosine prune; stages/dedup.py). Rows-only:
+    the sample-trained clustering is not SQL-expressible — parity is
+    pinned in pytest against a single-process numpy replica of the
+    identical arithmetic (test_dedup_knn_text)."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = dd.semdedup_survivors(
+        emb, n_clusters=8, threshold=0.4, train_sample=1 << 20, seed=42
+    )
+    return out.rename(columns={"id": "vec_id"})
+
+
 # ---------------------------------------------------------------------------
 # registries (merged into queries.QUERIES / queries.ORACLE)
 # ---------------------------------------------------------------------------
 
 EXT2_QUERIES = {
+    "semdedup": q_semdedup,
     "pack_sequences": q_pack_sequences,
     "repetition_stats": q_repetition_stats,
     "phash_dup_clusters": q_phash_dup_clusters,

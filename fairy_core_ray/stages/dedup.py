@@ -1534,3 +1534,120 @@ def cluster_pairs(pairs: pd.DataFrame, id_a: str = "id_a", id_b: str = "id_b") -
 
     ids = sorted(parent)
     return pd.DataFrame({"id": ids, "rep": [find(i) for i in ids]})
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via k-means clustering + within-cluster prune
+# ---------------------------------------------------------------------------
+
+
+def semdedup_survivors(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    train_sample: int = 4096,
+    kmeans_iters: int = 8,
+    seed: int = 42,
+    max_cluster: int = 100_000,
+) -> pd.DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): spherical
+    k-means over the embedding column, then within each cluster drop
+    every row whose cosine to ANY lower-id cluster-mate reaches
+    ``threshold`` (keep-first by id — deterministic, order-free).
+    Returns surviving (id, cluster), sorted by id.
+
+    Distributed shape: centroids train on a bounded driver sample
+    (``random_sample``, the IVF pattern — the paper itself clusters on a
+    sample) and broadcast ONCE via ``ray.put``; assignment is one
+    streaming ``map_batches`` pass; the O(m^2) pairwise prune runs
+    inside ``groupby(cluster).map_groups`` so each cluster's matmul is
+    one in-worker numpy call. Partitioning assumption: cluster sizes
+    stay within a worker's heap — size ``n_clusters`` proportional to n
+    (the paper uses ~n/10k clusters); ``max_cluster`` is the loud guard,
+    not a silent truncation.
+    """
+    empty = pd.DataFrame(
+        {"id": pd.Series([], dtype=np.int64), "cluster": pd.Series([], dtype=np.int64)}
+    )
+    try:
+        n_total = ds.count()
+    except Exception:
+        n_total = None
+    if n_total == 0:
+        return empty
+
+    # --- train spherical k-means centroids on a bounded sample ---
+    rng = np.random.default_rng(seed)
+    vec_ds = ds.select_columns([id_col, vec_col])
+    if n_total is not None and n_total > train_sample:
+        frac = min(1.0, (2.0 * train_sample) / n_total)
+        sample = vec_ds.random_sample(frac, seed=seed).limit(train_sample).to_pandas()
+        if sample.empty:
+            sample = vec_ds.limit(train_sample).to_pandas()
+    else:
+        sample = vec_ds.limit(train_sample).to_pandas()
+    if sample.empty:
+        return empty
+    # canonical order: to_pandas() returns blocks in arrival order, which
+    # varies run to run — positional k-means init must not inherit that
+    sample = sample.sort_values(id_col)
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n_clusters = min(n_clusters, len(X))
+    C = X[rng.choice(len(X), size=n_clusters, replace=False)].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_clusters):
+            m = assign == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    cref = ray.put(C)
+
+    def assign_batch(df: pd.DataFrame) -> pd.DataFrame:
+        Cb = ray.get(cref)
+        Xb = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        Xb /= np.maximum(np.linalg.norm(Xb, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame(
+            {
+                "id": df[id_col].to_numpy(np.int64),
+                "cluster": np.argmax(Xb @ Cb.T, axis=1).astype(np.int64),
+                "vec": list(Xb),
+            }
+        )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_cluster:
+            raise ValueError(
+                f"semdedup cluster {int(g['cluster'].iloc[0])} has {len(g)} rows "
+                f"(> max_cluster={max_cluster}); raise n_clusters for this corpus"
+            )
+        g = g.sort_values("id")
+        ids = g["id"].to_numpy(np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"id": ids, "cluster": g["cluster"].to_numpy(np.int64)}
+            )
+        G = np.stack(g["vec"].to_numpy())
+        S = G @ G.T
+        # drop j when any i<j has cosine >= threshold (keep-first by id)
+        drop = (np.triu(S >= threshold, k=1)).any(axis=0)
+        return pd.DataFrame(
+            {"id": ids[~drop], "cluster": g["cluster"].to_numpy(np.int64)[~drop]}
+        )
+
+    out = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(assign_batch, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out):
+        return empty
+    out["id"] = out["id"].astype(np.int64)
+    out["cluster"] = out["cluster"].astype(np.int64)
+    return out.sort_values("id").reset_index(drop=True)

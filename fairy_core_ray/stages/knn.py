@@ -268,7 +268,7 @@ def ivf_cosine_ann(
         return empty
 
     # --- train centroids on a bounded random sample (spherical k-means) ---
-    vec_ds = ds.select_columns([vec_col])
+    vec_ds = ds.select_columns([id_col, vec_col])
     if n_total is not None and n_total > train_sample:
         frac = min(1.0, (2.0 * train_sample) / n_total)
         sample = vec_ds.random_sample(frac, seed=seed).limit(train_sample).to_pandas()
@@ -278,6 +278,9 @@ def ivf_cosine_ann(
         sample = vec_ds.limit(train_sample).to_pandas()
     if sample.empty:
         return empty
+    # canonical order: block arrival order varies run to run; positional
+    # centroid init must not inherit it (determinism parity w/ semdedup)
+    sample = sample.sort_values(id_col)
     X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     n_lists = min(n_lists, len(X))

@@ -728,3 +728,79 @@ class TestClusterPairsDistributed:
             pd.DataFrame({"id_a": [], "id_b": []})
         )
         assert len(empty) == 0
+
+
+class TestSemDedup:
+    """SemDeDup (k-means + within-cluster keep-first cosine prune) vs a
+    single-process numpy replica of the identical arithmetic."""
+
+    def _table(self, n=400, dim=16, seed=3):
+        rng = np.random.default_rng(seed)
+        X = rng.standard_normal((n, dim))
+        # seeded near-dups: tiny perturbations of earlier rows
+        for i in range(0, n // 4, 3):
+            X[i + 1] = X[i] + rng.standard_normal(dim) * 0.01
+        return pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(X)}
+        )
+
+    def _replica(self, df, n_clusters, threshold, iters=8, seed=42):
+        rng = np.random.default_rng(seed)
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        k = min(n_clusters, len(X))
+        C = X[rng.choice(len(X), size=k, replace=False)].copy()
+        for _ in range(iters):
+            assign = np.argmax(X @ C.T, axis=1)
+            for j in range(k):
+                m = assign == j
+                if m.any():
+                    c = X[m].mean(axis=0)
+                    C[j] = c / max(np.linalg.norm(c), 1e-12)
+        assign = np.argmax(X @ C.T, axis=1)
+        ids = df["vec_id"].to_numpy(np.int64)
+        rows = []
+        for j in range(k):
+            m = assign == j
+            gi = ids[m]
+            order = np.argsort(gi)
+            gi, G = gi[order], X[m][order]
+            drop = (np.triu(G @ G.T >= threshold, k=1)).any(axis=0)
+            rows.append(pd.DataFrame({"id": gi[~drop], "cluster": j}))
+        out = pd.concat(rows, ignore_index=True)
+        out["cluster"] = out["cluster"].astype(np.int64)
+        return out.sort_values("id").reset_index(drop=True)
+
+    def test_matches_replica(self, ray_session):
+        import ray.data as rd
+
+        df = self._table()
+        got = dd.semdedup_survivors(
+            rd.from_pandas(df).repartition(4),
+            n_clusters=6,
+            threshold=0.95,
+            train_sample=1 << 20,  # full-table training: deterministic
+        )
+        want = self._replica(df, n_clusters=6, threshold=0.95)
+        pd.testing.assert_frame_equal(got, want)
+        assert len(got) < len(df)  # the seeded near-dups were pruned
+
+    def test_empty_and_guard(self, ray_session):
+        import ray.data as rd
+
+        empty = dd.semdedup_survivors(
+            rd.from_pandas(
+                pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                              "embedding": pd.Series([], dtype=object)})
+            )
+        )
+        assert len(empty) == 0
+        df = self._table(n=60)
+        with pytest.raises(Exception, match="max_cluster"):
+            dd.semdedup_survivors(
+                rd.from_pandas(df),
+                n_clusters=1,
+                threshold=0.99,
+                train_sample=1 << 20,
+                max_cluster=10,
+            )
