@@ -1146,6 +1146,40 @@ LEFT JOIN g2 ON d.doc_id = g2.doc_id
 """
 
 
+def q_dup_ngram_density(sf_dir: str):
+    """per-document duplicate word-3-gram density (stages/dedup.py:
+    dup_ngram_density) — distinct-gram df fold + broadcast membership
+    pass (count-join fallback above budget, path-equivalence pytest)."""
+    return dd.dup_ngram_density(
+        _t(sf_dir, "documents", ["doc_id", "text"], split=8), n=3
+    )
+
+
+DUP_NGRAM_DENSITY_SQL = """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS l
+  FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(l) AS w, unnest(range(1, len(l) + 1)) AS rn FROM lists
+),
+g AS (
+  SELECT DISTINCT a.doc_id, a.w || chr(31) || b.w || chr(31) || c.w AS g
+  FROM w a
+  JOIN w b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+  JOIN w c ON c.doc_id = a.doc_id AND c.rn = a.rn + 2
+),
+df AS (SELECT g, count(*) AS df FROM g GROUP BY g),
+cnt AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+  FROM g JOIN df USING (g) WHERE df.df >= 2 GROUP BY 1
+)
+SELECT d.doc_id, CAST(COALESCE(cnt.n_dup_grams, 0) AS BIGINT) AS n_dup_grams
+FROM documents d LEFT JOIN cnt USING (doc_id)
+"""
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup semantic dedup over embeddings (spherical k-means +
     within-cluster keep-first cosine prune; stages/dedup.py). Rows-only:
@@ -1165,6 +1199,7 @@ def q_semdedup(sf_dir: str):
 
 EXT2_QUERIES = {
     "semdedup": q_semdedup,
+    "dup_ngram_density": q_dup_ngram_density,
     "pack_sequences": q_pack_sequences,
     "repetition_stats": q_repetition_stats,
     "phash_dup_clusters": q_phash_dup_clusters,
@@ -1184,6 +1219,7 @@ EXT2_QUERIES = {
 }
 
 EXT2_ORACLE = {
+    "dup_ngram_density": DUP_NGRAM_DENSITY_SQL,
     "phash_dup_clusters": PHASH_DUP_CLUSTERS_SQL,
     "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
     "nearest_site_join": NEAREST_SITE_SQL,

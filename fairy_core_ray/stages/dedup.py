@@ -1651,3 +1651,177 @@ def semdedup_survivors(
     out["id"] = out["id"].astype(np.int64)
     out["cluster"] = out["cluster"].astype(np.int64)
     return out.sort_values("id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Cross-doc duplicate n-gram density (contamination-density signal)
+# ---------------------------------------------------------------------------
+
+DUP_GRAM_BROADCAST_BUDGET = 5_000_000
+DUP_GRAM_DRIVER_DOCS = 2_000_000
+_GRAM_SEP = "\x1f"
+
+
+def _distinct_doc_grams(
+    df: pd.DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> pd.DataFrame:
+    """Distinct (doc_id, g) literal word-n-gram rows for one batch.
+    Grams are separator-joined token runs over the flattened token
+    array (positions spanning two docs masked out) — elementwise object
+    concat, no per-gram Python loop. Distinct-per-batch IS
+    distinct-per-doc: a document's text lives in exactly one row."""
+    import itertools
+
+    s = df[text_col].fillna("").astype(str)
+    tok_lists = [[w for w in t.split(" ") if w] for t in s]
+    lens = np.fromiter((len(t) for t in tok_lists), np.int64, count=len(tok_lists))
+    total = int(lens.sum())
+    empty = pd.DataFrame(
+        {id_col: pd.Series([], dtype=np.int64), "g": pd.Series([], dtype=object)}
+    )
+    if total < n:
+        return empty
+    flat = np.fromiter(
+        itertools.chain.from_iterable(tok_lists), dtype=object, count=total
+    )
+    doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
+    m = total - n + 1
+    valid = doc_idx[:m] == doc_idx[n - 1 :]
+    if not valid.any():
+        return empty
+    g = flat[:m][valid]
+    for k in range(1, n):
+        g = g + _GRAM_SEP + flat[k : m + k][valid]
+    out = pd.DataFrame(
+        {id_col: df[id_col].to_numpy(np.int64)[doc_idx[:m][valid]], "g": g}
+    )
+    return out.drop_duplicates()
+
+
+def dup_ngram_density(
+    ds: rd.Dataset,
+    *,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_budget: int | None = None,
+) -> rd.Dataset:
+    """Per-document duplicate-n-gram density: for every doc, how many of
+    its DISTINCT word-n-grams appear in at least one other document —
+    the contamination/duplication-density signal behind substring-dedup
+    triage (Lee et al. 2022's "deduplicating training data" setting,
+    computed at n-gram granularity). Returns (doc_id, n_dup_grams) for
+    EVERY input doc, zeros included.
+
+    Distributed shape: pass 1 streams distinct (doc, gram) rows into
+    per-batch count partials; below ``DUP_GRAM_DRIVER_DOCS`` the partial
+    stream folds on the driver (_fold_counts — a native string-keyed
+    groupby costs ~40 s of shuffle overhead the small case never earns
+    back), above it a native ``groupby(gram)`` aggregate folds
+    gram-hash-partitioned with no driver state. Grams with df >= 2 then
+    either broadcast once via ``ray.put`` (below ``broadcast_budget``)
+    into a second streaming count pass, or — above budget — hash-join
+    back to the (doc, gram) stream with ``Dataset.join`` and fold per
+    doc, mirroring the ngram_pairs count-join fallback."""
+    if broadcast_budget is None:
+        broadcast_budget = DUP_GRAM_BROADCAST_BUDGET
+    try:
+        n_docs = ds.count()  # metadata-only on parquet reads
+    except Exception:
+        n_docs = None
+
+    grams = ds.map_batches(
+        lambda df: _distinct_doc_grams(df, n, id_col, text_col),
+        batch_format="pandas",
+    )
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("g", sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = grams.map_batches(df_partial, batch_format="pandas")
+    if n_docs is not None and n_docs > DUP_GRAM_DRIVER_DOCS:
+        dup = (
+            parts.groupby("g")
+            .aggregate(rd.aggregate.Sum("n", alias_name="n"))
+            .map_batches(
+                lambda df: df.loc[df["n"] >= 2, ["g"]], batch_format="pandas"
+            )
+            .materialize()  # counted AND consumed below: execute once
+        )
+        n_dup = dup.count()
+    else:
+        folded = _fold_counts(parts, ["g"])
+        dup_local = folded.loc[folded["n"] >= 2, "g"].to_numpy()
+        n_dup, dup = len(dup_local), None
+
+    # dup is None ⇔ the driver already holds the fold — broadcast is then
+    # strictly cheaper than re-shipping it through a join
+    if dup is None or n_dup <= broadcast_budget:
+        if dup is not None:
+            dup_local = (
+                dup.to_pandas()["g"].to_numpy() if n_dup else np.empty(0, object)
+            )
+        dset_ref = ray.put(frozenset(dup_local.tolist()))
+
+        def count_per_doc(df: pd.DataFrame) -> pd.DataFrame:
+            dset = ray.get(dset_ref)
+            ids = df[id_col].to_numpy(np.int64)
+            gg = _distinct_doc_grams(df, n, id_col, text_col)
+            hit = gg[gg["g"].isin(dset)]
+            cnt = hit.groupby(id_col, sort=False).size()
+            vals = (
+                pd.Series(ids).map(cnt).fillna(0).to_numpy(np.int64)
+                if len(cnt)
+                else np.zeros(len(ids), np.int64)
+            )
+            return pd.DataFrame({id_col: ids, "n_dup_grams": vals})
+
+        return ds.map_batches(count_per_doc, batch_format="pandas")
+
+    # above-budget path: hash-join dup grams back to the (doc, gram) stream
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    joined = grams.join(
+        dup,
+        join_type="inner",
+        num_partitions=max(8, ncpu),
+        on=("g",),
+    )
+
+    def doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if id_col not in df.columns:  # schemaless empty join block
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64), "c": pd.Series([], dtype=np.int64)}
+            )
+        out = df.groupby(id_col, sort=False).size().reset_index(name="c")
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    # zero-count seed rows (one per doc) unioned with the per-doc partials,
+    # folded by ONE groupby-sum — a left_outer join back to ds would be a
+    # second shuffle AND trips on the schemaless empty blocks the upstream
+    # aggregate emits (empty blocks bypass map_batches, so they can't be
+    # re-schema'd; Arrow's hash join then can't resolve the key field)
+    def zeros(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(np.int64),
+                "c": np.zeros(len(df), np.int64),
+            }
+        )
+
+    seeded = joined.map_batches(doc_partial, batch_format="pandas").union(
+        ds.map_batches(zeros, batch_format="pandas")
+    )
+    counts = seeded.groupby(id_col).sum("c")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(np.int64),
+                "n_dup_grams": df["sum(c)"].to_numpy(np.int64),
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pandas")

@@ -804,3 +804,58 @@ class TestSemDedup:
                 train_sample=1 << 20,
                 max_cluster=10,
             )
+
+
+class TestDupNgramDensity:
+    def _docs(self):
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "a quick brown fox jumps over a fence",   # shares 'quick brown fox', 'brown fox jumps', 'fox jumps over'
+            "completely unrelated text with no shared grams at all",
+            "the quick brown fox jumps again",
+            "tiny doc",                                # < 3 tokens -> 0 grams
+            "",
+        ]
+        return pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+
+    def _brute(self, df):
+        grams = {}
+        for did, t in zip(df["doc_id"], df["text"]):
+            toks = [w for w in t.split(" ") if w]
+            gs = {"\x1f".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            for g in gs:
+                grams.setdefault(g, set()).add(did)
+        out = []
+        for did, t in zip(df["doc_id"], df["text"]):
+            toks = [w for w in t.split(" ") if w]
+            gs = {"\x1f".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            out.append((did, sum(1 for g in gs if len(grams[g]) >= 2)))
+        return pd.DataFrame(out, columns=["doc_id", "n_dup_grams"]).astype(
+            {"n_dup_grams": np.int64}
+        )
+
+    def test_broadcast_path_matches_brute(self, ray_session):
+        df = self._docs()
+        got = (
+            dd.dup_ngram_density(rd.from_pandas(df).repartition(3))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, self._brute(df))
+        assert got["n_dup_grams"].sum() > 0
+
+    def test_distributed_join_path_matches(self, ray_session, monkeypatch):
+        df = self._docs()
+        monkeypatch.setattr(dd, "DUP_GRAM_DRIVER_DOCS", 0)
+        got = (
+            dd.dup_ngram_density(
+                rd.from_pandas(df).repartition(3), broadcast_budget=0
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, self._brute(df))
