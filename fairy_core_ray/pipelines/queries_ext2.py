@@ -1180,6 +1180,46 @@ FROM documents d LEFT JOIN cnt USING (doc_id)
 """
 
 
+def q_dup_substring_span(sf_dir: str):
+    """per-document longest duplicated token span (stages/dedup.py:
+    dup_substring_span) — Lee et al. 2022 substring-dedup signal at
+    word-3-gram resolution; broadcast membership + vectorized RLE
+    (join+bucketed-island fallback above budget, path-equivalence
+    pytest)."""
+    return dd.dup_substring_span(
+        _t(sf_dir, "documents", ["doc_id", "text"], split=8), n=3
+    )
+
+
+DUP_SUBSTRING_SPAN_SQL = """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS l
+  FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(l) AS w, unnest(range(1, len(l) + 1)) AS rn FROM lists
+),
+g AS (
+  SELECT a.doc_id, a.rn, a.w || chr(31) || b.w || chr(31) || c.w AS g
+  FROM w a
+  JOIN w b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+  JOIN w c ON c.doc_id = a.doc_id AND c.rn = a.rn + 2
+),
+df AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g),
+hits AS (SELECT g.doc_id, g.rn FROM g JOIN df USING (g) WHERE df.df >= 2),
+isl AS (
+  SELECT doc_id, rn,
+         rn - row_number() OVER (PARTITION BY doc_id ORDER BY rn) AS grpk
+  FROM hits
+),
+runs AS (SELECT doc_id, count(*) + 2 AS span FROM isl GROUP BY doc_id, grpk),
+mx AS (SELECT doc_id, max(span) AS s FROM runs GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(mx.s, 0) AS BIGINT) AS max_dup_span
+FROM documents d LEFT JOIN mx USING (doc_id)
+"""
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup semantic dedup over embeddings (spherical k-means +
     within-cluster keep-first cosine prune; stages/dedup.py). Rows-only:
@@ -1200,6 +1240,7 @@ def q_semdedup(sf_dir: str):
 EXT2_QUERIES = {
     "semdedup": q_semdedup,
     "dup_ngram_density": q_dup_ngram_density,
+    "dup_substring_span": q_dup_substring_span,
     "pack_sequences": q_pack_sequences,
     "repetition_stats": q_repetition_stats,
     "phash_dup_clusters": q_phash_dup_clusters,
@@ -1220,6 +1261,7 @@ EXT2_QUERIES = {
 
 EXT2_ORACLE = {
     "dup_ngram_density": DUP_NGRAM_DENSITY_SQL,
+    "dup_substring_span": DUP_SUBSTRING_SPAN_SQL,
     "phash_dup_clusters": PHASH_DUP_CLUSTERS_SQL,
     "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
     "nearest_site_join": NEAREST_SITE_SQL,

@@ -1662,23 +1662,32 @@ DUP_GRAM_DRIVER_DOCS = 2_000_000
 _GRAM_SEP = "\x1f"
 
 
-def _distinct_doc_grams(
-    df: pd.DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+def _doc_grams(
+    df: pd.DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    distinct: bool = True,
 ) -> pd.DataFrame:
-    """Distinct (doc_id, g) literal word-n-gram rows for one batch.
-    Grams are separator-joined token runs over the flattened token
-    array (positions spanning two docs masked out) — elementwise object
-    concat, no per-gram Python loop. Distinct-per-batch IS
-    distinct-per-doc: a document's text lives in exactly one row."""
+    """(doc_id, g[, rn]) literal word-n-gram rows for one batch. Grams
+    are separator-joined token runs over the flattened token array
+    (positions spanning two docs masked out) — elementwise object
+    concat, no per-gram Python loop. With ``distinct`` (default) one
+    row per distinct (doc, gram): distinct-per-batch IS
+    distinct-per-doc because a document's text lives in exactly one
+    row. With ``distinct=False`` every position is kept, in document
+    order, with its 0-based token offset ``rn``."""
     import itertools
 
     s = df[text_col].fillna("").astype(str)
     tok_lists = [[w for w in t.split(" ") if w] for t in s]
     lens = np.fromiter((len(t) for t in tok_lists), np.int64, count=len(tok_lists))
     total = int(lens.sum())
-    empty = pd.DataFrame(
-        {id_col: pd.Series([], dtype=np.int64), "g": pd.Series([], dtype=object)}
-    )
+    cols = {id_col: pd.Series([], dtype=np.int64), "g": pd.Series([], dtype=object)}
+    if not distinct:
+        cols["rn"] = pd.Series([], dtype=np.int64)
+    empty = pd.DataFrame(cols)
     if total < n:
         return empty
     flat = np.fromiter(
@@ -1692,10 +1701,64 @@ def _distinct_doc_grams(
     g = flat[:m][valid]
     for k in range(1, n):
         g = g + _GRAM_SEP + flat[k : m + k][valid]
-    out = pd.DataFrame(
-        {id_col: df[id_col].to_numpy(np.int64)[doc_idx[:m][valid]], "g": g}
+    dsel = doc_idx[:m][valid]
+    out = {id_col: df[id_col].to_numpy(np.int64)[dsel], "g": g}
+    if not distinct:
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        out["rn"] = np.flatnonzero(valid) - starts[dsel]
+    out = pd.DataFrame(out)
+    return out.drop_duplicates() if distinct else out
+
+
+def _distinct_doc_grams(
+    df: pd.DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> pd.DataFrame:
+    return _doc_grams(df, n, id_col, text_col, distinct=True)
+
+
+def _dup_gram_fold(
+    ds: rd.Dataset, n: int, id_col: str, text_col: str
+) -> tuple[rd.Dataset, int, rd.Dataset | None, np.ndarray | None]:
+    """Pass 1 shared by the duplicate-gram operators: stream distinct
+    (doc, gram) rows into per-batch count partials and keep the grams
+    seen in >= 2 distinct documents. Below ``DUP_GRAM_DRIVER_DOCS`` the
+    partial stream folds on the driver (_fold_counts — a native
+    string-keyed groupby costs shuffle overhead the small case never
+    earns back) and the dup grams come back as a local array; above it
+    a native ``groupby(gram)`` aggregate folds gram-hash-partitioned
+    with no driver state and the dup grams stay a Dataset.
+
+    Returns ``(grams, n_dup, dup_ds_or_None, dup_local_or_None)`` —
+    exactly one of the last two is non-None."""
+    try:
+        n_docs = ds.count()  # metadata-only on parquet reads
+    except Exception:
+        n_docs = None
+
+    grams = ds.map_batches(
+        lambda df: _distinct_doc_grams(df, n, id_col, text_col),
+        batch_format="pandas",
     )
-    return out.drop_duplicates()
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("g", sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = grams.map_batches(df_partial, batch_format="pandas")
+    if n_docs is not None and n_docs > DUP_GRAM_DRIVER_DOCS:
+        dup = (
+            parts.groupby("g")
+            .aggregate(rd.aggregate.Sum("n", alias_name="n"))
+            .map_batches(
+                lambda df: df.loc[df["n"] >= 2, ["g"]], batch_format="pandas"
+            )
+            .materialize()  # counted AND consumed downstream: execute once
+        )
+        return grams, dup.count(), dup, None
+    folded = _fold_counts(parts, ["g"])
+    dup_local = folded.loc[folded["n"] >= 2, "g"].to_numpy()
+    return grams, len(dup_local), None, dup_local
 
 
 def dup_ngram_density(
@@ -1725,36 +1788,7 @@ def dup_ngram_density(
     doc, mirroring the ngram_pairs count-join fallback."""
     if broadcast_budget is None:
         broadcast_budget = DUP_GRAM_BROADCAST_BUDGET
-    try:
-        n_docs = ds.count()  # metadata-only on parquet reads
-    except Exception:
-        n_docs = None
-
-    grams = ds.map_batches(
-        lambda df: _distinct_doc_grams(df, n, id_col, text_col),
-        batch_format="pandas",
-    )
-
-    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("g", sort=False).size().reset_index(name="n")
-        out["n"] = out["n"].astype(np.int64)
-        return out
-
-    parts = grams.map_batches(df_partial, batch_format="pandas")
-    if n_docs is not None and n_docs > DUP_GRAM_DRIVER_DOCS:
-        dup = (
-            parts.groupby("g")
-            .aggregate(rd.aggregate.Sum("n", alias_name="n"))
-            .map_batches(
-                lambda df: df.loc[df["n"] >= 2, ["g"]], batch_format="pandas"
-            )
-            .materialize()  # counted AND consumed below: execute once
-        )
-        n_dup = dup.count()
-    else:
-        folded = _fold_counts(parts, ["g"])
-        dup_local = folded.loc[folded["n"] >= 2, "g"].to_numpy()
-        n_dup, dup = len(dup_local), None
+    grams, n_dup, dup, dup_local = _dup_gram_fold(ds, n, id_col, text_col)
 
     # dup is None ⇔ the driver already holds the fold — broadcast is then
     # strictly cheaper than re-shipping it through a join
@@ -1825,3 +1859,147 @@ def dup_ngram_density(
         )
 
     return counts.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Longest duplicated substring span (substring-dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def dup_substring_span(
+    ds: rd.Dataset,
+    *,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_budget: int | None = None,
+) -> rd.Dataset:
+    """Per-document longest duplicated token span, the substring-dedup
+    triage signal of Lee et al. 2022 computed at word-n-gram
+    resolution: the length in TOKENS of the longest run of consecutive
+    n-grams that each occur in >= 2 distinct documents
+    (``run_grams + n - 1``), 0 when the doc has no duplicated gram.
+    Returns (doc_id, max_dup_span) for EVERY input doc.
+
+    Distributed shape: pass 1 is the shared ``_dup_gram_fold`` (driver
+    fold below DUP_GRAM_DRIVER_DOCS, native groupby(gram) above); pass
+    2 either broadcasts the dup-gram set once via ``ray.put`` and scans
+    positional grams per batch (runs computed by vectorized
+    run-length encoding — no per-doc Python), or — above
+    ``broadcast_budget`` — hash-joins dup grams back to the positional
+    gram stream, buckets the (doc, rn) hits by hash(doc) %
+    PAIR_FOLD_BUCKETS, computes in-bucket islands with numpy, and folds
+    per-doc maxima through one groupby-max seeded with zero rows."""
+    if broadcast_budget is None:
+        broadcast_budget = DUP_GRAM_BROADCAST_BUDGET
+    _, n_dup, dup, dup_local = _dup_gram_fold(ds, n, id_col, text_col)
+
+    if dup is None or n_dup <= broadcast_budget:
+        if dup is not None:
+            dup_local = (
+                dup.to_pandas()["g"].to_numpy() if n_dup else np.empty(0, object)
+            )
+        dset_ref = ray.put(frozenset(dup_local.tolist()))
+
+        def span_per_doc(df: pd.DataFrame) -> pd.DataFrame:
+            dset = ray.get(dset_ref)
+            ids = df[id_col].to_numpy(np.int64)
+            gg = _doc_grams(df, n, id_col, text_col, distinct=False)
+            out = np.zeros(len(ids), np.int64)
+            if len(gg):
+                h = gg["g"].isin(dset).to_numpy()
+                gid = gg[id_col].to_numpy(np.int64)
+                # rn is consecutive within a doc by construction: runs
+                # break exactly where the doc or the hit flag changes
+                change = np.empty(len(h), bool)
+                change[0] = True
+                change[1:] = (gid[1:] != gid[:-1]) | (h[1:] != h[:-1])
+                starts = np.flatnonzero(change)
+                run_len = np.diff(np.append(starts, len(h)))
+                keep = h[starts]
+                if keep.any():
+                    spans = pd.Series(
+                        run_len[keep] + (n - 1), index=gid[starts][keep]
+                    )
+                    mx = spans.groupby(level=0).max()
+                    out = (
+                        pd.Series(ids).map(mx).fillna(0).to_numpy(np.int64)
+                    )
+            return pd.DataFrame({id_col: ids, "max_dup_span": out})
+
+        return ds.map_batches(span_per_doc, batch_format="pandas")
+
+    # above-budget path: join dup grams to positional grams, fold islands
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    pos = ds.map_batches(
+        lambda df: _doc_grams(df, n, id_col, text_col, distinct=False),
+        batch_format="pandas",
+    )
+    hits = pos.join(
+        dup, join_type="inner", num_partitions=max(8, ncpu), on=("g",)
+    )
+
+    def attach_fb(df: pd.DataFrame) -> pd.DataFrame:
+        if id_col not in df.columns:  # schemaless empty join block
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype=np.int64),
+                    "rn": pd.Series([], dtype=np.int64),
+                    "fb": pd.Series([], dtype=np.int64),
+                }
+            )
+        ids = df[id_col].to_numpy(np.int64)
+        fb = (splitmix64(ids.view(np.uint64)) % np.uint64(PAIR_FOLD_BUCKETS)).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {id_col: ids, "rn": df["rn"].to_numpy(np.int64), "fb": fb}
+        )
+
+    def bucket_spans(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "rn"])
+        ids = df[id_col].to_numpy(np.int64)
+        rn = df["rn"].to_numpy(np.int64)
+        brk = np.empty(len(ids), bool)
+        brk[0] = True
+        brk[1:] = (ids[1:] != ids[:-1]) | (rn[1:] != rn[:-1] + 1)
+        starts = np.flatnonzero(brk)
+        run_len = np.diff(np.append(starts, len(ids)))
+        spans = pd.Series(run_len + (n - 1), index=ids[starts])
+        mx = spans.groupby(level=0).max()
+        return pd.DataFrame(
+            {
+                id_col: mx.index.to_numpy(np.int64),
+                "s": mx.to_numpy(np.int64),
+            }
+        )
+
+    partials = (
+        hits.map_batches(attach_fb, batch_format="pandas")
+        .groupby("fb")
+        .map_groups(
+            lambda df: bucket_spans(df.drop(columns=["fb"])),
+            batch_format="pandas",
+        )
+    )
+
+    def zeros(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(np.int64),
+                "s": np.zeros(len(df), np.int64),
+            }
+        )
+
+    seeded = partials.union(ds.map_batches(zeros, batch_format="pandas"))
+    mx = seeded.groupby(id_col).max("s")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(np.int64),
+                "max_dup_span": df["max(s)"].to_numpy(np.int64),
+            }
+        )
+
+    return mx.map_batches(finish, batch_format="pandas")

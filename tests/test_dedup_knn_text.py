@@ -859,3 +859,66 @@ class TestDupNgramDensity:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, self._brute(df))
+
+
+class TestDupSubstringSpan:
+    def _docs(self):
+        texts = [
+            "the quick brown fox jumps over the lazy dog today",
+            "a dog saw the quick brown fox jumps over the fence",  # shared 5-run
+            "completely unrelated text with no shared grams at all",
+            "the quick brown cat sat still",                       # shares only 'the quick brown'
+            "tiny doc",
+            "",
+        ]
+        return pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+
+    def _brute(self, df, n=3):
+        grams = {}
+        toks_by = {}
+        for did, t in zip(df["doc_id"], df["text"]):
+            toks = [w for w in t.split(" ") if w]
+            toks_by[did] = toks
+            for g in {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}:
+                grams.setdefault(g, set()).add(did)
+        out = []
+        for did, toks in toks_by.items():
+            best = run = 0
+            for i in range(len(toks) - n + 1):
+                if len(grams[tuple(toks[i : i + n])]) >= 2:
+                    run += 1
+                    best = max(best, run + n - 1)
+                else:
+                    run = 0
+            out.append((did, best))
+        return pd.DataFrame(out, columns=["doc_id", "max_dup_span"]).astype(
+            {"max_dup_span": np.int64}
+        )
+
+    def test_broadcast_path_matches_brute(self, ray_session):
+        df = self._docs()
+        got = (
+            dd.dup_substring_span(rd.from_pandas(df).repartition(3))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = self._brute(df)
+        pd.testing.assert_frame_equal(got, exp)
+        # doc 0/1 share a 5-token run: span must exceed the 3-gram floor
+        assert exp.loc[exp["doc_id"] == 1, "max_dup_span"].iloc[0] >= 5
+
+    def test_distributed_join_path_matches(self, ray_session, monkeypatch):
+        df = self._docs()
+        monkeypatch.setattr(dd, "DUP_GRAM_DRIVER_DOCS", 0)
+        got = (
+            dd.dup_substring_span(
+                rd.from_pandas(df).repartition(3), broadcast_budget=0
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, self._brute(df))
