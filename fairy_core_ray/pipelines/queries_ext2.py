@@ -1180,6 +1180,59 @@ FROM documents d LEFT JOIN cnt USING (doc_id)
 """
 
 
+def q_mix_sources(sf_dir: str):
+    """weighted mixture downsampling (stages/sampling.py:mix_sources) —
+    Pile/Dolma-style mixture assembly with integer-exact deterministic
+    hash gates; weight rule srcN -> (N % 5) + 1 mirrored in the SQL
+    oracle. Two streaming passes, zero shuffle."""
+    from fairy_core_ray.stages.sampling import mix_sources
+
+    out = mix_sources(
+        _t(sf_dir, "documents", ["doc_id", "source"], split=8),
+        lambda s: (int(s[3:]) % 5) + 1,
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+MIX_SOURCES_SQL = """
+WITH cnt AS (
+  SELECT source, count(*) AS c,
+         (CAST(substr(source, 4) AS BIGINT) % 5) + 1 AS w
+  FROM documents GROUP BY source
+),
+k AS (SELECT min(c // w) AS k FROM cnt),
+thr AS (
+  SELECT source, c, least(w * (SELECT k FROM k), c) AS need FROM cnt
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr USING (source)
+WHERE ((d.doc_id * 2654435761) % 1000003) * thr.c < thr.need * 1000003
+ORDER BY d.doc_id
+"""
+
+
+def q_hash_split(sf_dir: str):
+    """deterministic train/eval split tag (stages/sampling.py:
+    hash_split) — salted-hash gate, stable under resharding/rerun so
+    decontamination can rely on eval membership not drifting."""
+    from fairy_core_ray.stages.sampling import hash_split
+
+    out = hash_split(
+        _t(sf_dir, "documents", ["doc_id"], split=8), permille=100
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+HASH_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN ((doc_id + 2654435769) * 2654435761) % 1000003 % 1000 < 100
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_dup_substring_span(sf_dir: str):
     """per-document longest duplicated token span (stages/dedup.py:
     dup_substring_span) — Lee et al. 2022 substring-dedup signal at
@@ -1241,6 +1294,8 @@ EXT2_QUERIES = {
     "semdedup": q_semdedup,
     "dup_ngram_density": q_dup_ngram_density,
     "dup_substring_span": q_dup_substring_span,
+    "mix_sources": q_mix_sources,
+    "hash_split": q_hash_split,
     "pack_sequences": q_pack_sequences,
     "repetition_stats": q_repetition_stats,
     "phash_dup_clusters": q_phash_dup_clusters,
@@ -1262,6 +1317,8 @@ EXT2_QUERIES = {
 EXT2_ORACLE = {
     "dup_ngram_density": DUP_NGRAM_DENSITY_SQL,
     "dup_substring_span": DUP_SUBSTRING_SPAN_SQL,
+    "mix_sources": MIX_SOURCES_SQL,
+    "hash_split": HASH_SPLIT_SQL,
     "phash_dup_clusters": PHASH_DUP_CLUSTERS_SQL,
     "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
     "nearest_site_join": NEAREST_SITE_SQL,

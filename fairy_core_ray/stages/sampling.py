@@ -1,0 +1,116 @@
+"""Mixture-weighted corpus sampling — training-data mixture assembly.
+
+The reference has no sampling surface (its scope is validation:
+/root/reference/src/fairy/core/rulepack_runner.py); these are the
+large-scale-pipeline additions the brief mandates. Design notes:
+
+* All gates are DETERMINISTIC multiplicative-hash thresholds on the row
+  id — no RNG state, so a sample is reproducible across reruns, shards,
+  cluster sizes and resumed partitions (same invariant as
+  queries_ext.q_stratified_sample).
+* Rates are derived from per-source counts with integer-exact rational
+  comparisons (h * count < need * M) — no float rounding, so a SQL
+  oracle reproduces the selection bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+HASH_MULT = 2654435761
+HASH_MOD = 1000003  # prime: h in [0, HASH_MOD)
+
+
+def mixture_keep_thresholds(
+    counts: dict[str, int], weights: dict[str, int]
+) -> dict[str, tuple[int, int]]:
+    """Per-source exact keep fraction need_s / count_s for the LARGEST
+    mixture matching integer ``weights`` with no upsampling: the
+    bottleneck source is taken whole (rate 1) and every other source
+    downsamples to its weighted share. K = min_s floor(count_s / w_s),
+    need_s = w_s * K. Returns {source: (need, count)}; sources absent
+    from ``weights`` get need 0 (dropped)."""
+    k = min(
+        (c // weights[s] for s, c in counts.items() if weights.get(s)),
+        default=0,
+    )
+    return {
+        s: (min(weights.get(s, 0) * k, c), c) for s, c in counts.items()
+    }
+
+
+def mix_sources(
+    ds: rd.Dataset,
+    weights,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> rd.Dataset:
+    """Weighted mixture downsampling (Pile/Dolma-style mixture
+    assembly): keep a deterministic per-source subset so surviving
+    counts follow ``weights`` as closely as exact hash-thresholding
+    allows, never duplicating a row. Two streaming passes, no shuffle:
+
+    1. per-source counts — per-batch value_counts partials, driver fold
+       (sources are few; the fold is O(sources), not O(rows));
+    2. per-batch Arrow filter with the integer-exact gate
+       ``h(id) * count_s < need_s * HASH_MOD``.
+
+    At 100 TB both passes stream with backpressure; the rate table is a
+    tiny closure constant (not re-shipped per batch — it rides the
+    serialized UDF once per worker process)."""
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[source_col].value_counts()
+        return pd.DataFrame(
+            {source_col: out.index, "n": out.to_numpy(np.int64)}
+        )
+
+    parts = ds.select_columns([source_col]).map_batches(
+        cnt_partial, batch_format="pandas"
+    )
+    folded: dict[str, int] = {}
+    for b in parts.iter_batches(batch_format="pandas"):
+        for s, v in zip(b[source_col], b["n"]):
+            folded[s] = folded.get(s, 0) + int(v)
+    if callable(weights):  # weight rule applied to the observed sources
+        weights = {s: int(weights(s)) for s in folded}
+    thr = mixture_keep_thresholds(folded, weights)
+
+    def gate(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        h = (ids * HASH_MULT) % HASH_MOD
+        src = t[source_col].to_pandas()
+        need = src.map({s: v[0] for s, v in thr.items()}).fillna(0)
+        cnt = src.map({s: v[1] for s, v in thr.items()}).fillna(1)
+        keep = h * cnt.to_numpy(np.int64) < need.to_numpy(np.int64) * HASH_MOD
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def hash_split(
+    ds: rd.Dataset,
+    *,
+    permille: int = 10,
+    id_col: str = "doc_id",
+    salt: int = 0x9E3779B9,
+) -> rd.Dataset:
+    """Deterministic train/eval split tag: adds ``split`` =
+    'eval' for the ~permille/1000 of rows whose salted id hash gates
+    low, else 'train'. Pure per-batch map — the assignment is stable
+    under resharding/rerun, the invariant eval-split assembly needs so
+    later decontamination can rely on membership not drifting."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        h = ((ids + salt) * HASH_MULT) % HASH_MOD % 1000
+        return t.append_column(
+            "split",
+            pa.array(np.where(h < permille, "eval", "train")),
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")

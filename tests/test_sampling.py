@@ -1,0 +1,92 @@
+"""Mixture sampling / split-tag stage tests (stages/sampling.py)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from fairy_core_ray.stages.sampling import (
+    HASH_MOD,
+    HASH_MULT,
+    hash_split,
+    mix_sources,
+    mixture_keep_thresholds,
+)
+
+
+class TestMixtureThresholds:
+    def test_bottleneck_taken_whole(self):
+        thr = mixture_keep_thresholds(
+            {"a": 100, "b": 1000}, {"a": 1, "b": 1}
+        )
+        # a is the bottleneck: K=100, need_a=100 (all), need_b=100
+        assert thr == {"a": (100, 100), "b": (100, 1000)}
+
+    def test_weighted_shares(self):
+        thr = mixture_keep_thresholds(
+            {"a": 300, "b": 1000}, {"a": 1, "b": 3}
+        )
+        # K = min(300//1, 1000//3) = 300 -> need a=300, b=900
+        assert thr == {"a": (300, 300), "b": (900, 1000)}
+
+    def test_unweighted_source_dropped(self):
+        thr = mixture_keep_thresholds({"a": 10, "x": 50}, {"a": 2})
+        assert thr["x"] == (0, 50)
+
+    def test_empty_weights(self):
+        assert mixture_keep_thresholds({"a": 10}, {}) == {"a": (0, 10)}
+
+
+class TestMixSources:
+    def _ds(self):
+        rng = np.random.default_rng(7)
+        n = 3000
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "source": rng.choice(["a", "b", "c"], n, p=[0.5, 0.3, 0.2]),
+            }
+        )
+
+    def test_mixture_matches_weights(self, ray_session):
+        df = self._ds()
+        out = mix_sources(
+            rd.from_pandas(df).repartition(4), {"a": 1, "b": 1, "c": 1}
+        ).to_pandas()
+        counts = out["source"].value_counts()
+        # equal weights: every source within hash-gate tolerance of the
+        # bottleneck count (c ~ 600)
+        lo, hi = 0.85 * counts.min(), 1.15 * counts.min()
+        assert all(lo <= c <= hi for c in counts), counts.to_dict()
+        # never upsample, never invent rows
+        assert out["doc_id"].is_unique
+        assert set(out["doc_id"]).issubset(set(df["doc_id"]))
+
+    def test_deterministic_across_partitionings(self, ray_session):
+        df = self._ds()
+        a = mix_sources(rd.from_pandas(df).repartition(2), {"a": 2, "b": 1, "c": 1})
+        b = mix_sources(rd.from_pandas(df).repartition(7), {"a": 2, "b": 1, "c": 1})
+        pa_ = a.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pb_ = b.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(pa_, pb_)
+
+    def test_callable_weights(self, ray_session):
+        df = self._ds()
+        out = mix_sources(
+            rd.from_pandas(df).repartition(3), lambda s: 1
+        ).to_pandas()
+        assert len(out) > 0
+
+
+class TestHashSplit:
+    def test_tag_fraction_and_determinism(self, ray_session):
+        df = pd.DataFrame({"doc_id": np.arange(20000, dtype=np.int64)})
+        out = hash_split(
+            rd.from_pandas(df).repartition(5), permille=100
+        ).to_pandas()
+        frac = (out["split"] == "eval").mean()
+        assert 0.08 < frac < 0.12
+        # stable under resharding
+        out2 = hash_split(rd.from_pandas(df), permille=100).to_pandas()
+        m1 = out.sort_values("doc_id")["split"].to_numpy()
+        m2 = out2.sort_values("doc_id")["split"].to_numpy()
+        assert (m1 == m2).all()
