@@ -1180,6 +1180,23 @@ FROM documents d LEFT JOIN cnt USING (doc_id)
 """
 
 
+def q_pq_ann(sf_dir: str):
+    """product-quantization approximate cosine kNN (stages/knn.py:
+    pq_cosine_ann) — ADC lookup-sum scan over m one-byte subspace
+    codes; the compressed-index scale path next to IVF/LSH. Rows-only:
+    recall vs exact cosine_topk pinned in pytest."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = knn_mod.pq_cosine_ann(emb, Q, qdf["vec_id"].tolist(), k=5)
+    if len(out):
+        out = out.copy()
+        out["cosine"] = out["cosine"].round(5)
+        out["query_id"] = out["query_id"].astype(np.int64)
+        out["neighbor_id"] = out["neighbor_id"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 def q_mix_sources(sf_dir: str):
     """weighted mixture downsampling (stages/sampling.py:mix_sources) —
     Pile/Dolma-style mixture assembly with integer-exact deterministic
@@ -1296,6 +1313,7 @@ EXT2_QUERIES = {
     "dup_substring_span": q_dup_substring_span,
     "mix_sources": q_mix_sources,
     "hash_split": q_hash_split,
+    "pq_ann": q_pq_ann,
     "pack_sequences": q_pack_sequences,
     "repetition_stats": q_repetition_stats,
     "phash_dup_clusters": q_phash_dup_clusters,

@@ -922,3 +922,68 @@ class TestDupSubstringSpan:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, self._brute(df))
+
+
+class TestPqAnn:
+    def _vecs(self, n=600, d=24, seed=17):
+        rng = np.random.default_rng(seed)
+        X = rng.standard_normal((n, d))
+        return pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(X)}
+        )
+
+    def test_recall_vs_exact(self, ray_session):
+        vecs = self._vecs()
+        ds = rd.from_pandas(vecs)
+        Q = np.stack(vecs["embedding"].iloc[:5].to_numpy())
+        exact = knn_mod.cosine_topk(ds, Q, list(range(5)), k=5)
+        approx = knn_mod.pq_cosine_ann(
+            ds, Q, list(range(5)), k=5, m=8, ksub=32
+        )
+        e = set(zip(exact["query_id"], exact["neighbor_id"]))
+        a = set(zip(approx["query_id"], approx["neighbor_id"]))
+        assert len(e & a) / len(e) >= 0.5  # ADC recall floor at m=8/ksub=32
+
+    def test_self_query_top1_is_self_when_included(self, ray_session):
+        vecs = self._vecs(n=100, d=16, seed=23)
+        ds = rd.from_pandas(vecs)
+        Q = np.stack(vecs["embedding"].iloc[:3].to_numpy())
+        out = knn_mod.pq_cosine_ann(
+            ds, Q, [0, 1, 2], k=1, m=4, ksub=32, exclude_self=False
+        )
+        top1 = out.groupby("query_id").head(1)
+        # quantized self-similarity still dominates random vectors
+        assert (top1["neighbor_id"].to_numpy() == top1["query_id"].to_numpy()).all()
+
+    def test_codes_shape_and_compression(self):
+        rng = np.random.default_rng(5)
+        X = rng.standard_normal((256, 32))
+        books = knn_mod.train_pq_codebooks(X, m=4, ksub=16, iters=5, seed=1)
+        assert books.shape == (4, 16, 8)
+        codes = knn_mod.pq_encode_batch(X, books)
+        assert codes.shape == (256, 4) and codes.dtype == np.uint8
+        # reconstruction is closer than a random codebook assignment
+        recon = np.concatenate(
+            [books[j][codes[:, j]] for j in range(4)], axis=1
+        )
+        err = np.linalg.norm(X - recon, axis=1).mean()
+        rand = np.linalg.norm(
+            X - np.concatenate(
+                [books[j][rng.integers(0, 16, 256)] for j in range(4)], axis=1
+            ),
+            axis=1,
+        ).mean()
+        assert err < rand
+
+    def test_determinism_across_partitionings(self, ray_session):
+        vecs = self._vecs(n=300, d=16, seed=9)
+        Q = np.stack(vecs["embedding"].iloc[:3].to_numpy())
+        a = knn_mod.pq_cosine_ann(
+            rd.from_pandas(vecs).repartition(2), Q, [0, 1, 2], k=4, m=4
+        )
+        b = knn_mod.pq_cosine_ann(
+            rd.from_pandas(vecs).repartition(7), Q, [0, 1, 2], k=4, m=4
+        )
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
