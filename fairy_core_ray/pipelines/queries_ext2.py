@@ -1180,6 +1180,40 @@ FROM documents d LEFT JOIN cnt USING (doc_id)
 """
 
 
+def q_word_freq_stats(sf_dir: str):
+    """per-document corpus word-frequency stats (stages/text_stages.py:
+    word_freq_stats) — integer-exact CCNet-style rarity signal:
+    n_tokens, sum of corpus counts over token occurrences, rarest-token
+    count. Vocab fold + broadcast scoring (join fallback above budget,
+    path-equivalence pytest)."""
+    from fairy_core_ray.stages.text_stages import word_freq_stats
+
+    out = word_freq_stats(
+        _t(sf_dir, "documents", ["doc_id", "text"], split=8)
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+WORD_FREQ_STATS_SQL = """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS l
+  FROM documents
+),
+w AS (SELECT doc_id, unnest(l) AS w FROM lists),
+cnt AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+agg AS (
+  SELECT doc_id, count(*) AS nt, sum(c) AS sf, min(c) AS mf
+  FROM w JOIN cnt USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(agg.nt, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(agg.sf, 0) AS BIGINT) AS sum_freq,
+       CAST(COALESCE(agg.mf, 0) AS BIGINT) AS min_freq
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_pq_ann(sf_dir: str):
     """product-quantization approximate cosine kNN (stages/knn.py:
     pq_cosine_ann) — ADC lookup-sum scan over m one-byte subspace
@@ -1226,6 +1260,63 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN thr USING (source)
 WHERE ((d.doc_id * 2654435761) % 1000003) * thr.c < thr.need * 1000003
 ORDER BY d.doc_id
+"""
+
+
+def q_mix_epochs(sf_dir: str):
+    """epoch-aware mixture assembly with bounded upsampling
+    (stages/sampling.py:mix_sources_epochs) — UniMax-style: whole-corpus
+    epochs + hash-gated remainder per source, repetition capped; target
+    2x the corpus size, weight rule srcN -> (N % 5) + 1. Integer-exact
+    plan (largest-remainder apportionment) mirrored in SQL."""
+    from fairy_core_ray.stages.sampling import mix_sources_epochs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source"], split=8)
+    total = 2 * ds.count()
+    out = mix_sources_epochs(
+        ds, lambda s: (int(s[3:]) % 5) + 1, total, max_epochs=3
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+
+
+MIX_EPOCHS_SQL = """
+WITH cnt AS (
+  SELECT source, count(*) AS c,
+         (CAST(substr(source, 4) AS BIGINT) % 5) + 1 AS w
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT sum(w) AS wsum, 2 * sum(c) AS total FROM cnt
+),
+sh0 AS (
+  SELECT source, c, w,
+         (w * total) // wsum AS sh, (w * total) % wsum AS fr,
+         total
+  FROM cnt, tot
+),
+sh AS (
+  SELECT source, c,
+         sh + CASE WHEN row_number() OVER (ORDER BY fr DESC, source DESC)
+                   <= total - (SELECT sum(sh) FROM sh0)
+              THEN 1 ELSE 0 END AS share
+  FROM sh0
+),
+plan AS (
+  SELECT source, c,
+         least(share, 3 * c) // c AS ep,
+         least(share, 3 * c) % c AS rn
+  FROM sh
+)
+SELECT doc_id, source, CAST(unnest(range(CAST(reps AS BIGINT))) AS BIGINT) AS epoch
+FROM (
+  SELECT d.doc_id, d.source,
+         p.ep + CASE WHEN ((d.doc_id * 2654435761) % 1000003) * p.c
+                       < p.rn * 1000003
+                THEN 1 ELSE 0 END AS reps
+  FROM documents d JOIN plan p USING (source)
+)
+ORDER BY doc_id, epoch
 """
 
 
@@ -1313,7 +1404,9 @@ EXT2_QUERIES = {
     "dup_substring_span": q_dup_substring_span,
     "mix_sources": q_mix_sources,
     "hash_split": q_hash_split,
+    "mix_epochs": q_mix_epochs,
     "pq_ann": q_pq_ann,
+    "word_freq_stats": q_word_freq_stats,
     "pack_sequences": q_pack_sequences,
     "repetition_stats": q_repetition_stats,
     "phash_dup_clusters": q_phash_dup_clusters,
@@ -1337,6 +1430,8 @@ EXT2_ORACLE = {
     "dup_substring_span": DUP_SUBSTRING_SPAN_SQL,
     "mix_sources": MIX_SOURCES_SQL,
     "hash_split": HASH_SPLIT_SQL,
+    "word_freq_stats": WORD_FREQ_STATS_SQL,
+    "mix_epochs": MIX_EPOCHS_SQL,
     "phash_dup_clusters": PHASH_DUP_CLUSTERS_SQL,
     "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
     "nearest_site_join": NEAREST_SITE_SQL,

@@ -114,3 +114,100 @@ def hash_split(
         )
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def mixture_epoch_plan(
+    counts: dict[str, int],
+    weights: dict[str, int],
+    total: int,
+    *,
+    max_epochs: int = 4,
+) -> dict[str, tuple[int, int, int]]:
+    """Epoch-aware mixture plan (UniMax-flavored): split ``total``
+    output rows across sources by integer ``weights`` (largest-
+    remainder apportionment — deterministic, sums exactly to total
+    when feasible), then satisfy each source's share with whole-corpus
+    epochs plus a hash-gated remainder, capping repetition at
+    ``max_epochs`` passes. Returns {source: (epochs, rem_need, count)}:
+    every row of the source appears ``epochs`` times, plus once more
+    for rows whose hash gates below rem_need/count."""
+    wsum = sum(weights.get(s, 0) for s in counts)
+    if wsum == 0:
+        return {s: (0, 0, c) for s, c in counts.items()}
+    shares = {
+        s: (weights.get(s, 0) * total) // wsum for s in sorted(counts)
+    }
+    # largest-remainder: hand leftover rows to the largest fractional
+    # parts, ties by source name (deterministic)
+    rem = total - sum(shares.values())
+    fracs = sorted(
+        ((weights.get(s, 0) * total) % wsum, s)
+        for s in sorted(counts)
+    )
+    for _, s in reversed(fracs):
+        if rem <= 0:
+            break
+        shares[s] += 1
+        rem -= 1
+    plan = {}
+    for s, c in counts.items():
+        want = min(shares.get(s, 0), max_epochs * c)
+        plan[s] = (want // c if c else 0, want % c if c else 0, c)
+    return plan
+
+
+def mix_sources_epochs(
+    ds: rd.Dataset,
+    weights,
+    total: int,
+    *,
+    max_epochs: int = 4,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> rd.Dataset:
+    """Mixture assembly WITH bounded upsampling: emit each source's
+    rows ``epochs`` times (an ``epoch`` column 0..e-1 distinguishes
+    copies) plus a deterministic hash-gated remainder pass, per
+    ``mixture_epoch_plan``. This is the UniMax-style shape for
+    under-represented sources — repetition capped at ``max_epochs`` so
+    a tiny source can't dominate by duplication. Same two streaming
+    passes as ``mix_sources`` (count fold + per-batch gate), zero
+    shuffle; the copy fan-out is np.repeat inside the batch."""
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[source_col].value_counts()
+        return pd.DataFrame(
+            {source_col: out.index, "n": out.to_numpy(np.int64)}
+        )
+
+    parts = ds.select_columns([source_col]).map_batches(
+        cnt_partial, batch_format="pandas"
+    )
+    folded: dict[str, int] = {}
+    for b in parts.iter_batches(batch_format="pandas"):
+        for s, v in zip(b[source_col], b["n"]):
+            folded[s] = folded.get(s, 0) + int(v)
+    if callable(weights):
+        weights = {s: int(weights(s)) for s in folded}
+    plan = mixture_epoch_plan(folded, weights, total, max_epochs=max_epochs)
+
+    def fanout(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        src = df[source_col].astype(str)
+        ep = src.map({s: v[0] for s, v in plan.items()}).fillna(0).to_numpy(np.int64)
+        need = src.map({s: v[1] for s, v in plan.items()}).fillna(0).to_numpy(np.int64)
+        cnt = src.map({s: v[2] for s, v in plan.items()}).fillna(1).to_numpy(np.int64)
+        h = (ids * HASH_MULT) % HASH_MOD
+        reps = ep + (h * cnt < need * HASH_MOD)
+        idx = np.repeat(np.arange(len(ids), dtype=np.int64), reps)
+        starts = np.repeat(np.cumsum(reps) - reps, reps)
+        epoch = np.arange(len(idx), dtype=np.int64) - starts
+        return pd.DataFrame(
+            {
+                id_col: ids[idx],
+                source_col: src.to_numpy()[idx],
+                "epoch": epoch,
+            }
+        )
+
+    return ds.map_batches(fanout, batch_format="pandas")

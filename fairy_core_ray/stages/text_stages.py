@@ -173,3 +173,200 @@ def hash_bytes(b: bytes) -> int:
     weights = np.uint64(2654435761) ** np.arange(len(arr), dtype=np.uint64)
     with np.errstate(over="ignore"):
         return int(splitmix64(np.array([(arr * weights).sum()]))[0] & np.uint64((1 << 63) - 1))
+
+
+# ---------------------------------------------------------------------------
+# Corpus word-frequency stats per document (CCNet-style rarity signal)
+# ---------------------------------------------------------------------------
+
+WFS_DRIVER_DOCS = 2_000_000
+WFS_BROADCAST_BUDGET = 5_000_000
+
+
+def word_freq_stats(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_budget: int | None = None,
+):
+    """Per-document corpus-frequency statistics — the integer-exact core
+    of a CCNet/KenLM-style rarity/quality signal: for every doc,
+    ``n_tokens`` (single-space split, empties dropped), ``sum_freq``
+    (sum over its token occurrences of that token's corpus-wide count)
+    and ``min_freq`` (its rarest token's count). sum_freq/n_tokens is
+    the mean token frequency (common-word-heavy docs score high, docs
+    of rare tokens low); all three are integers so a SQL oracle matches
+    bit-for-bit — no float log-sum ordering hazard.
+
+    Distributed shape mirrors word_topk + dup_ngram_density: pass 1
+    folds per-batch factorize/bincount partials into corpus counts
+    (driver fold below WFS_DRIVER_DOCS, native groupby(word) above);
+    pass 2 broadcasts the vocabulary once via ``ray.put`` and scores
+    each batch with np.add.at / np.minimum.at (no per-doc Python), or —
+    above ``broadcast_budget`` vocab entries — hash-joins counts back
+    to the exploded (doc, word) stream and folds one seeded
+    groupby-sum/min."""
+    import itertools
+
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    if broadcast_budget is None:
+        broadcast_budget = WFS_BROADCAST_BUDGET
+    try:
+        n_docs = ds.count()
+    except Exception:
+        n_docs = None
+
+    def words_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"w": pd.Series([], dtype=object), "n": pd.Series([], dtype=np.int64)}
+        )
+        s = df[text_col].fillna("").astype(str)
+        tok_lists = s.str.split(" ")
+        total = int(tok_lists.map(len).sum())
+        if total == 0:
+            return empty
+        flat = np.fromiter(
+            itertools.chain.from_iterable(tok_lists), dtype=object, count=total
+        )
+        flat = flat[flat != ""]
+        if not len(flat):
+            return empty
+        codes, uniq = pd.factorize(flat, sort=False)
+        return pd.DataFrame({"w": uniq, "n": np.bincount(codes).astype(np.int64)})
+
+    parts = ds.map_batches(words_partial, batch_format="pandas")
+    if n_docs is not None and n_docs > WFS_DRIVER_DOCS:
+        cnt_ds = (
+            parts.groupby("w")
+            .aggregate(rd.aggregate.Sum("n", alias_name="n"))
+            .materialize()
+        )
+        n_vocab = cnt_ds.count()
+        cnt_local = None
+    else:
+        frames = list(parts.iter_batches(batch_size=None, batch_format="pandas"))
+        allp = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(
+                {"w": pd.Series([], dtype=object), "n": pd.Series([], dtype=np.int64)}
+            )
+        )
+        cnt_local = allp.groupby("w", sort=False)["n"].sum()
+        n_vocab, cnt_ds = len(cnt_local), None
+
+    def doc_tokens(df: pd.DataFrame):
+        """(ids, lens, flat, doc_idx) — flat tokens with per-doc index."""
+        ids = df[id_col].to_numpy(np.int64)
+        s = df[text_col].fillna("").astype(str)
+        tok_lists = [[w for w in t.split(" ") if w] for t in s]
+        lens = np.fromiter(
+            (len(t) for t in tok_lists), np.int64, count=len(tok_lists)
+        )
+        total = int(lens.sum())
+        flat = np.fromiter(
+            itertools.chain.from_iterable(tok_lists), dtype=object, count=total
+        )
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        return ids, lens, flat, doc_idx
+
+    if cnt_ds is None or n_vocab <= broadcast_budget:
+        if cnt_ds is not None:
+            cf = cnt_ds.to_pandas()
+            cnt_local = cf.set_index("w")["n"] if len(cf) else pd.Series(dtype=np.int64)
+        ref = ray.put(cnt_local)
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            cnts = ray.get(ref)
+            ids, lens, flat, doc_idx = doc_tokens(df)
+            sums = np.zeros(len(ids), np.int64)
+            mins = np.zeros(len(ids), np.int64)
+            if len(flat):
+                c = pd.Series(flat).map(cnts).to_numpy(np.int64)
+                np.add.at(sums, doc_idx, c)
+                mins = np.full(len(ids), np.iinfo(np.int64).max, np.int64)
+                np.minimum.at(mins, doc_idx, c)
+                mins[lens == 0] = 0
+            return pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_tokens": lens,
+                    "sum_freq": sums,
+                    "min_freq": mins,
+                }
+            )
+
+        return ds.map_batches(score, batch_format="pandas")
+
+    # above-budget path: explode (doc, w) rows, join counts, seeded fold
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, lens, flat, doc_idx = doc_tokens(df)
+        return pd.DataFrame({id_col: ids[doc_idx], "w": flat})
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    joined = ds.map_batches(explode, batch_format="pandas").join(
+        cnt_ds, join_type="inner", num_partitions=max(8, ncpu), on=("w",)
+    )
+
+    big = np.iinfo(np.int64).max
+
+    def partial3(df: pd.DataFrame) -> pd.DataFrame:
+        if id_col not in df.columns:  # schemaless empty join block
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype=np.int64),
+                    "nt": pd.Series([], dtype=np.int64),
+                    "sf": pd.Series([], dtype=np.int64),
+                    "mf": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = df.groupby(id_col, sort=False)["n"]
+        out = g.agg(["count", "sum", "min"]).reset_index()
+        return pd.DataFrame(
+            {
+                id_col: out[id_col].to_numpy(np.int64),
+                "nt": out["count"].to_numpy(np.int64),
+                "sf": out["sum"].to_numpy(np.int64),
+                "mf": out["min"].to_numpy(np.int64),
+            }
+        )
+
+    def seeds(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "nt": np.zeros(len(ids), np.int64),
+                "sf": np.zeros(len(ids), np.int64),
+                "mf": np.full(len(ids), big, np.int64),
+            }
+        )
+
+    folded = (
+        joined.map_batches(partial3, batch_format="pandas")
+        .union(ds.map_batches(seeds, batch_format="pandas"))
+        .groupby(id_col)
+        .aggregate(
+            rd.aggregate.Sum("nt", alias_name="n_tokens"),
+            rd.aggregate.Sum("sf", alias_name="sum_freq"),
+            rd.aggregate.Min("mf", alias_name="min_freq"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        mf = df["min_freq"].to_numpy(np.int64)
+        nt = df["n_tokens"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(np.int64),
+                "n_tokens": nt,
+                "sum_freq": df["sum_freq"].to_numpy(np.int64),
+                "min_freq": np.where(nt == 0, 0, mf),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pandas")

@@ -987,3 +987,65 @@ class TestPqAnn:
         pd.testing.assert_frame_equal(
             a.reset_index(drop=True), b.reset_index(drop=True)
         )
+
+
+class TestWordFreqStats:
+    def _docs(self):
+        texts = [
+            "the cat sat on the mat",
+            "the dog sat",
+            "unique words only here",
+            "",
+            "the the the",
+        ]
+        return pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+
+    def _brute(self, df):
+        from collections import Counter
+
+        cnt = Counter(
+            w for t in df["text"] for w in t.split(" ") if w
+        )
+        rows = []
+        for did, t in zip(df["doc_id"], df["text"]):
+            toks = [w for w in t.split(" ") if w]
+            rows.append(
+                (
+                    did,
+                    len(toks),
+                    sum(cnt[w] for w in toks),
+                    min((cnt[w] for w in toks), default=0),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["doc_id", "n_tokens", "sum_freq", "min_freq"]
+        ).astype({c: np.int64 for c in ["n_tokens", "sum_freq", "min_freq"]})
+
+    def test_broadcast_path_matches_brute(self, ray_session):
+        from fairy_core_ray.stages import text_stages as ts
+
+        df = self._docs()
+        got = (
+            ts.word_freq_stats(rd.from_pandas(df).repartition(3))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, self._brute(df))
+
+    def test_distributed_join_path_matches(self, ray_session, monkeypatch):
+        from fairy_core_ray.stages import text_stages as ts
+
+        df = self._docs()
+        monkeypatch.setattr(ts, "WFS_DRIVER_DOCS", 0)
+        got = (
+            ts.word_freq_stats(
+                rd.from_pandas(df).repartition(3), broadcast_budget=0
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, self._brute(df))

@@ -90,3 +90,61 @@ class TestHashSplit:
         m1 = out.sort_values("doc_id")["split"].to_numpy()
         m2 = out2.sort_values("doc_id")["split"].to_numpy()
         assert (m1 == m2).all()
+
+
+class TestMixEpochs:
+    def test_plan_apportionment_exact(self):
+        from fairy_core_ray.stages.sampling import mixture_epoch_plan
+
+        plan = mixture_epoch_plan(
+            {"a": 100, "b": 100}, {"a": 3, "b": 1}, total=400
+        )
+        # a: share 300 -> 3 epochs, 0 rem; b: share 100 -> 1 epoch
+        assert plan == {"a": (3, 0, 100), "b": (1, 0, 100)}
+
+    def test_plan_remainder_and_cap(self):
+        from fairy_core_ray.stages.sampling import mixture_epoch_plan
+
+        plan = mixture_epoch_plan(
+            {"a": 10, "b": 1000}, {"a": 1, "b": 1}, total=500, max_epochs=4
+        )
+        # a share 250 capped at 4*10=40 -> 4 epochs, 0 rem
+        assert plan["a"] == (4, 0, 10)
+        # b share 250 -> 0 epochs, 250 hash-gated
+        assert plan["b"] == (0, 250, 1000)
+
+    def test_fanout_counts_and_epochs(self, ray_session):
+        from fairy_core_ray.stages.sampling import mix_sources_epochs
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(200, dtype=np.int64),
+                "source": np.where(np.arange(200) < 40, "a", "b"),
+            }
+        )
+        out = mix_sources_epochs(
+            rd.from_pandas(df).repartition(4),
+            {"a": 1, "b": 1},
+            total=300,
+            max_epochs=3,
+        ).to_pandas()
+        # a (40 rows, share 150 capped at 120): exactly 3 epochs each
+        a = out[out["source"] == "a"]
+        assert len(a) == 120
+        assert a.groupby("doc_id")["epoch"].max().eq(2).all()
+        # b (160 rows, share 150): 0 full epochs + ~150 gated singles
+        b = out[out["source"] == "b"]
+        assert (b["epoch"] == 0).all()
+        assert 120 <= len(b) <= 180  # hash-gate tolerance around 150
+        # copies are distinguishable and deterministic
+        out2 = mix_sources_epochs(
+            rd.from_pandas(df).repartition(9),
+            {"a": 1, "b": 1},
+            total=300,
+            max_epochs=3,
+        ).to_pandas()
+        k = ["doc_id", "epoch"]
+        pd.testing.assert_frame_equal(
+            out.sort_values(k).reset_index(drop=True),
+            out2.sort_values(k).reset_index(drop=True),
+        )
