@@ -1180,6 +1180,31 @@ FROM documents d LEFT JOIN cnt USING (doc_id)
 """
 
 
+def q_novel_docs(sf_dir: str):
+    """incremental-ingest anti-join (stages/dedup.py:
+    novel_against_history): batch slice (last 60% of doc ids) vs
+    history slice (first 60%) — novel = md5(text) seen nowhere in
+    history. Bloom fast path emits definite-novels with zero shuffle;
+    suspects confirm on full digests (broadcast below budget, bucketed
+    union fold above; path-equivalence pytest)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"], split=8)
+    n = docs.count()
+    # doc_id*5 < 3n  <=>  doc_id <= (3n-1)//5 ; doc_id*5 >= 2n <=> >= ceil(2n/5)
+    hist = docs.filter(expr=f"doc_id <= {(3 * n - 1) // 5}")
+    batch = docs.filter(expr=f"doc_id >= {(2 * n + 4) // 5}")
+    out = dd.novel_against_history(batch, hist).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+NOVEL_DOCS_SQL = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+hist AS (SELECT md5(text) AS k FROM documents, n WHERE doc_id * 5 < 3 * n),
+batch AS (SELECT doc_id, md5(text) AS k FROM documents, n WHERE doc_id * 5 >= 2 * n)
+SELECT doc_id FROM batch WHERE k NOT IN (SELECT k FROM hist) ORDER BY doc_id
+"""
+
+
 def q_word_freq_stats(sf_dir: str):
     """per-document corpus word-frequency stats (stages/text_stages.py:
     word_freq_stats) — integer-exact CCNet-style rarity signal:
@@ -1407,6 +1432,7 @@ EXT2_QUERIES = {
     "mix_epochs": q_mix_epochs,
     "pq_ann": q_pq_ann,
     "word_freq_stats": q_word_freq_stats,
+    "novel_docs": q_novel_docs,
     "pack_sequences": q_pack_sequences,
     "repetition_stats": q_repetition_stats,
     "phash_dup_clusters": q_phash_dup_clusters,
@@ -1432,6 +1458,7 @@ EXT2_ORACLE = {
     "hash_split": HASH_SPLIT_SQL,
     "word_freq_stats": WORD_FREQ_STATS_SQL,
     "mix_epochs": MIX_EPOCHS_SQL,
+    "novel_docs": NOVEL_DOCS_SQL,
     "phash_dup_clusters": PHASH_DUP_CLUSTERS_SQL,
     "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
     "nearest_site_join": NEAREST_SITE_SQL,

@@ -2003,3 +2003,177 @@ def dup_substring_span(
         )
 
     return mx.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest: novel-document anti-join against a historical corpus
+# ---------------------------------------------------------------------------
+
+NOVEL_HISTORY_BROADCAST_BUDGET = 20_000_000
+
+
+def _md5_keys(df: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
+    k = md5_hex(df[text_col].fillna("").astype(str))
+    out = {"k": k.to_numpy()}
+    if id_col:
+        out[id_col] = df[id_col].to_numpy(np.int64)
+    return pd.DataFrame(out)
+
+
+def _md5_prefix64(khex: np.ndarray) -> np.ndarray:
+    """int64 view of the first 16 hex chars — the bloom prefilter key
+    (collisions only cost bloom false positives; the exact confirm is
+    on the full digest)."""
+    return (
+        np.array([int(h[:16], 16) for h in khex], dtype=np.uint64)
+        .view(np.int64)
+    )
+
+
+def novel_against_history(
+    batch_ds: rd.Dataset,
+    history_ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_budget: int | None = None,
+) -> rd.Dataset:
+    """Incremental-ingest exact dedup: (id) rows of ``batch_ds`` whose
+    md5(text) occurs NOWHERE in ``history_ds`` — the anti-join shape a
+    daily crawl runs against the accumulated corpus. At 100 TB the
+    histories dwarf the increment, so the design never shuffles the
+    batch side wholesale:
+
+    1. history folds into a fixed 128 KiB bloom bitmap (per-block
+       partial bitmaps OR-merged on the driver — O(blocks), not
+       O(keys), through the driver);
+    2. batch rows failing the bloom are DEFINITELY novel (no false
+       negatives) and emit straight from the streaming pass — at
+       ingest, ~all rows take this zero-shuffle path;
+    3. bloom survivors ("suspects", members + eps false positives)
+       confirm exactly on the full digest: against a broadcast sorted
+       key array below ``broadcast_budget`` history keys, else through
+       ONE hash-bucketed shuffle of (suspect ∪ history-key) rows with a
+       vectorized in-bucket membership fold (groupby-transform min —
+       no join operator, no per-key dispatch).
+
+    Bloom prefilter keys are the digest's 64-bit prefix; the confirm
+    compares full digests, so output matches SQL ``NOT IN`` exactly."""
+    if broadcast_budget is None:
+        broadcast_budget = NOVEL_HISTORY_BROADCAST_BUDGET
+    try:
+        n_hist = history_ds.count()
+    except Exception:
+        n_hist = None
+
+    hkeys = history_ds.map_batches(
+        lambda df: _md5_keys(df, "", text_col), batch_format="pandas"
+    )
+
+    def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from fairy_core_ray.pipelines.queries_ext2 import _bloom_build
+
+        bits = _bloom_build(_md5_prefix64(df["k"].to_numpy()))
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    small = n_hist is not None and n_hist <= broadcast_budget
+    if small:
+        # one driver pass collects the exact sorted digests AND the bloom
+        frames = [
+            b
+            for b in hkeys.iter_batches(batch_size=None, batch_format="pandas")
+            if len(b)
+        ]
+        keys = (
+            np.sort(np.concatenate([f["k"].to_numpy() for f in frames]))
+            if frames
+            else np.empty(0, object)
+        )
+        from fairy_core_ray.pipelines.queries_ext2 import _bloom_build
+
+        bits = _bloom_build(_md5_prefix64(keys))
+        bref = ray.put((bits, keys))
+
+        def novel_small(df: pd.DataFrame) -> pd.DataFrame:
+            bm, kk = ray.get(bref)
+            kb = _md5_keys(df, id_col, text_col)
+            from fairy_core_ray.pipelines.queries_ext2 import _bloom_test
+
+            cand = _bloom_test(bm, _md5_prefix64(kb["k"].to_numpy()))
+            novel = ~cand
+            if cand.any() and len(kk):
+                sus = kb.loc[cand, "k"].to_numpy()
+                p = np.minimum(np.searchsorted(kk, sus), len(kk) - 1)
+                novel[np.flatnonzero(cand)[kk[p] != sus]] = True
+            elif cand.any():
+                novel[:] = True
+            return pd.DataFrame(
+                {id_col: kb[id_col].to_numpy(np.int64)[novel]}
+            )
+
+        return batch_ds.map_batches(novel_small, batch_format="pandas")
+
+    # big-history path: partial blooms OR-fold on the driver
+    from fairy_core_ray.pipelines.queries_ext2 import BLOOM_BITS, _bloom_build
+
+    bits = np.zeros(BLOOM_BITS // 64, np.uint64)
+    for b in hkeys.map_batches(bloom_partial, batch_format="pandas").iter_batches(
+        batch_size=None, batch_format="pandas"
+    ):
+        for raw in b["bits"]:
+            bits |= np.frombuffer(raw, np.uint64)
+    bref = ray.put(bits)
+
+    def split_batch(df: pd.DataFrame) -> pd.DataFrame:
+        """Emit definite-novel ids (s=2) and suspects (s=1) in one pass."""
+        from fairy_core_ray.pipelines.queries_ext2 import _bloom_test
+
+        kb = _md5_keys(df, id_col, text_col)
+        cand = _bloom_test(bref_get(), _md5_prefix64(kb["k"].to_numpy()))
+        out = kb.copy()
+        out["s"] = np.where(cand, np.int64(1), np.int64(2))
+        return out
+
+    def bref_get():
+        return ray.get(bref)
+
+    tagged = batch_ds.map_batches(split_batch, batch_format="pandas")
+    definite = tagged.map_batches(
+        lambda df: df.loc[df["s"] == 2, [id_col]], batch_format="pandas"
+    )
+    suspects = tagged.map_batches(
+        lambda df: df.loc[df["s"] == 1, [id_col, "k", "s"]],
+        batch_format="pandas",
+    )
+    hist_rows = hkeys.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                id_col: np.full(len(df), -1, np.int64),
+                "k": df["k"].to_numpy(),
+                "s": np.zeros(len(df), np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def attach_fb(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_prefix64(df["k"].to_numpy()).view(np.uint64)
+        df = df.copy()
+        df["fb"] = (splitmix64(h) % np.uint64(PAIR_FOLD_BUCKETS)).astype(np.int64)
+        return df
+
+    def bucket_novel(df: pd.DataFrame) -> pd.DataFrame:
+        has_hist = df.groupby("k")["s"].transform("min")  # 0 iff history row
+        m = (df["s"] == 1) & (has_hist == 1)
+        return pd.DataFrame({id_col: df.loc[m, id_col].to_numpy(np.int64)})
+
+    confirmed = (
+        suspects.union(hist_rows)
+        .map_batches(attach_fb, batch_format="pandas")
+        .groupby("fb")
+        .map_groups(
+            lambda df: bucket_novel(df.drop(columns=["fb"])),
+            batch_format="pandas",
+        )
+    )
+    return definite.union(confirmed)

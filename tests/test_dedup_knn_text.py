@@ -1049,3 +1049,65 @@ class TestWordFreqStats:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, self._brute(df))
+
+
+class TestNovelAgainstHistory:
+    def _frames(self):
+        # history: texts 0..9; batch: 5 dup texts + 5 novel + 1 empty
+        hist = pd.DataFrame(
+            {
+                "doc_id": np.arange(10, dtype=np.int64),
+                "text": [f"history doc {i}" for i in range(10)],
+            }
+        )
+        batch = pd.DataFrame(
+            {
+                "doc_id": np.arange(100, 111, dtype=np.int64),
+                "text": [f"history doc {i}" for i in range(5)]
+                + [f"fresh doc {i}" for i in range(5)]
+                + [""],
+            }
+        )
+        return hist, batch
+
+    def test_small_path_matches_brute(self, ray_session):
+        hist, batch = self._frames()
+        got = (
+            dd.novel_against_history(
+                rd.from_pandas(batch).repartition(3),
+                rd.from_pandas(hist).repartition(2),
+            )
+            .to_pandas()["doc_id"]
+            .sort_values()
+            .to_numpy()
+        )
+        assert got.tolist() == list(range(105, 111))
+
+    def test_big_path_matches(self, ray_session):
+        hist, batch = self._frames()
+        got = (
+            dd.novel_against_history(
+                rd.from_pandas(batch).repartition(3),
+                rd.from_pandas(hist).repartition(2),
+                broadcast_budget=0,
+            )
+            .to_pandas()["doc_id"]
+            .sort_values()
+            .to_numpy()
+        )
+        assert got.tolist() == list(range(105, 111))
+
+    def test_empty_history_everything_novel(self, ray_session):
+        _, batch = self._frames()
+        got = dd.novel_against_history(
+            rd.from_pandas(batch),
+            rd.from_pandas(
+                pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype=np.int64),
+                        "text": pd.Series([], dtype=str),
+                    }
+                )
+            ),
+        ).to_pandas()
+        assert len(got) == len(batch)
