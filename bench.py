@@ -203,6 +203,10 @@ def run_queries(sf_dir: str, full: bool = False) -> dict:
             "phash_dup_clusters",
             "knn_self_join",
             "bloom_semijoin",
+            "dup_substring_span",
+            "word_freq_stats",
+            "novel_docs",
+            "mix_sources",
         ]
     out = {}
     for name in names:
