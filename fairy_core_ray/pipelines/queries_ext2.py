@@ -1180,6 +1180,114 @@ FROM documents d LEFT JOIN cnt USING (doc_id)
 """
 
 
+_SEQ_MAX = 32
+
+
+def q_user_event_sequences(sf_dir: str):
+    """per-user ordered event-type sequences (trajectory assembly for
+    behavioral training data): first 32 events by (ts, event_id),
+    '|'-joined, plus the truncated count. One hash-bucketed shuffle
+    (hash(user) % 256 — bucketed dispatch, not per-user); in-bucket
+    work is a vectorized sort + cumcount mask + C-level str.join per
+    group. Oracle: string_agg(... ORDER BY ts, event_id) under a
+    row_number window."""
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"], split=8)
+
+    def attach_fb(df: pd.DataFrame) -> pd.DataFrame:
+        from fairy_core_ray.functions.hashing import splitmix64
+
+        u = df["user_id"].to_numpy(np.int64)
+        df = df.copy()
+        df["fb"] = (splitmix64(u.view(np.uint64)) % np.uint64(256)).astype(np.int64)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        keep = df.groupby("user_id", sort=False).cumcount() < _SEQ_MAX
+        df = df[keep]
+        g = df.groupby("user_id", sort=False)["event_type"]
+        out = g.agg("|".join).reset_index(name="seq")
+        out["n_events"] = g.size().to_numpy(np.int64)
+        return out[["user_id", "n_events", "seq"]]
+
+    out = (
+        ev.map_batches(attach_fb, batch_format="pandas")
+        .groupby("fb")
+        .map_groups(
+            lambda df: per_bucket(df.drop(columns=["fb"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+USER_EVENT_SEQ_SQL = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(event_type, '|' ORDER BY rn) AS seq
+FROM r WHERE rn <= {_SEQ_MAX}
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_neardup_best_survivors(sf_dir: str):
+    """quality-aware near-dup dedup (stages/dedup.py:
+    best_per_cluster_survivors): clusters from the exact embedding
+    near-dup pair set (threshold 0.4, same as neardup_clusters), each
+    cluster keeping its highest-n_chars member (ties -> smaller id);
+    unclustered docs survive. Oracle: recursive min-label CTE +
+    QUALIFY argmax over the identical SQL pair set."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = dd.embedding_neardup_pairs(emb, threshold=0.4)
+    clusters = dd.cluster_pairs(pairs)
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"], split=8)
+    out = dd.best_per_cluster_survivors(
+        docs, clusters, id_col="doc_id", quality_col="n_chars"
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+NEARDUP_BEST_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+clus AS (SELECT id, least(id, min(r)) AS rep FROM reach GROUP BY id),
+j AS (
+  SELECT c.id, c.rep, d.n_chars
+  FROM clus c JOIN documents d ON d.doc_id = c.id
+),
+best AS (
+  SELECT id FROM j
+  QUALIFY row_number() OVER (PARTITION BY rep ORDER BY n_chars DESC, id) = 1
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM clus) OR doc_id IN (SELECT id FROM best)
+ORDER BY doc_id
+"""
+
+
 def q_novel_docs(sf_dir: str):
     """incremental-ingest anti-join (stages/dedup.py:
     novel_against_history): batch slice (last 60% of doc ids) vs
@@ -1433,6 +1541,8 @@ EXT2_QUERIES = {
     "pq_ann": q_pq_ann,
     "word_freq_stats": q_word_freq_stats,
     "novel_docs": q_novel_docs,
+    "neardup_best_survivors": q_neardup_best_survivors,
+    "user_event_sequences": q_user_event_sequences,
     "pack_sequences": q_pack_sequences,
     "repetition_stats": q_repetition_stats,
     "phash_dup_clusters": q_phash_dup_clusters,
@@ -1459,6 +1569,8 @@ EXT2_ORACLE = {
     "word_freq_stats": WORD_FREQ_STATS_SQL,
     "mix_epochs": MIX_EPOCHS_SQL,
     "novel_docs": NOVEL_DOCS_SQL,
+    "neardup_best_survivors": NEARDUP_BEST_SQL,
+    "user_event_sequences": USER_EVENT_SEQ_SQL,
     "phash_dup_clusters": PHASH_DUP_CLUSTERS_SQL,
     "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
     "nearest_site_join": NEAREST_SITE_SQL,

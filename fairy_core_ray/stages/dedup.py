@@ -2177,3 +2177,78 @@ def novel_against_history(
         )
     )
     return definite.union(confirmed)
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware near-dup survivor selection (keep BEST per cluster)
+# ---------------------------------------------------------------------------
+
+
+def best_per_cluster_survivors(
+    ds: rd.Dataset,
+    clusters: pd.DataFrame,
+    *,
+    id_col: str,
+    quality_col: str,
+) -> rd.Dataset:
+    """Survivor set when near-dup clusters keep their HIGHEST-quality
+    member (ties → smaller id) instead of keep-first — the curation
+    policy production dedup actually wants (keep the longest / best-
+    scored page, drop the mirrors). ``clusters`` is the (id, rep)
+    table from cluster_pairs; ``ds`` must carry ``id_col`` and
+    ``quality_col`` for at least the clustered ids.
+
+    Shape: the member→rep map broadcasts once (cluster members are the
+    near-dup minority — bounded in any curated corpus; the >5M-pairs
+    regime composes cluster_pairs_distributed the same way and folds
+    the per-rep argmax in hash buckets); one streaming pass collects
+    member qualities as per-batch partials; the driver folds the
+    bounded (rep → best) argmax; the loser set broadcasts into a
+    second zero-shuffle streaming filter over the full corpus."""
+    if not len(clusters):
+        return ds.select_columns([id_col])
+    member_rep = dict(
+        zip(clusters["id"].astype(np.int64), clusters["rep"].astype(np.int64))
+    )
+    mref = ray.put(member_rep)
+
+    def member_quality(df: pd.DataFrame) -> pd.DataFrame:
+        mr = ray.get(mref)
+        ids = df[id_col].to_numpy(np.int64)
+        m = np.fromiter((i in mr for i in ids), bool, count=len(ids))
+        sub_ids = ids[m]
+        return pd.DataFrame(
+            {
+                "rep": np.fromiter(
+                    (mr[i] for i in sub_ids), np.int64, count=len(sub_ids)
+                ),
+                "id": sub_ids,
+                "q": df[quality_col].to_numpy(np.int64)[m],
+            }
+        )
+
+    frames = [
+        b
+        for b in ds.map_batches(member_quality, batch_format="pandas").iter_batches(
+            batch_size=None, batch_format="pandas"
+        )
+        if len(b)
+    ]
+    mq = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame({"rep": [], "id": [], "q": []})
+    )
+    # per-rep argmax: quality desc, id asc
+    mq = mq.sort_values(["rep", "q", "id"], ascending=[True, False, True])
+    best = set(mq.groupby("rep", sort=False).head(1)["id"].astype(np.int64))
+    losers = frozenset(i for i in member_rep if i not in best)
+    lref = ray.put(losers)
+
+    def keep(t: pa.Table) -> pa.Table:
+        drop = ray.get(lref)
+        ids = t[id_col].to_numpy().astype(np.int64)
+        m = ~np.fromiter((i in drop for i in ids), bool, count=len(ids))
+        return t.select([id_col]).filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1111,3 +1111,45 @@ class TestNovelAgainstHistory:
             ),
         ).to_pandas()
         assert len(got) == len(batch)
+
+
+class TestBestPerClusterSurvivors:
+    def test_keeps_best_quality_per_cluster(self, ray_session):
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(8, dtype=np.int64),
+                "n_chars": np.array([10, 50, 30, 5, 99, 7, 7, 7], np.int64),
+            }
+        )
+        # clusters: {0,1,2} rep 0 -> best is 1 (50); {5,6,7} rep 5 ->
+        # tie on quality 7 -> smallest id 5; 3,4 unclustered
+        clusters = pd.DataFrame(
+            {"id": [0, 1, 2, 5, 6, 7], "rep": [0, 0, 0, 5, 5, 5]}
+        )
+        got = (
+            dd.best_per_cluster_survivors(
+                rd.from_pandas(docs).repartition(3),
+                clusters,
+                id_col="doc_id",
+                quality_col="n_chars",
+            )
+            .to_pandas()["doc_id"]
+            .sort_values()
+            .tolist()
+        )
+        assert got == [1, 3, 4, 5]
+
+    def test_empty_clusters_all_survive(self, ray_session):
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(4, dtype=np.int64),
+                "n_chars": np.ones(4, np.int64),
+            }
+        )
+        got = dd.best_per_cluster_survivors(
+            rd.from_pandas(docs),
+            pd.DataFrame({"id": [], "rep": []}),
+            id_col="doc_id",
+            quality_col="n_chars",
+        ).to_pandas()
+        assert sorted(got["doc_id"].tolist()) == [0, 1, 2, 3]

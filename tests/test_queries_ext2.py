@@ -444,3 +444,33 @@ def test_embed_scores_oracle_dim_contract():
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
         assert len(t["embedding"][0]) == 64
+
+
+class TestUserEventSequences:
+    def test_truncation_and_order(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        import fairy_core_ray.pipelines.queries_ext2 as q2
+
+        n = 40
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(np.arange(n)[::-1], unit="m"),
+                "user_id": np.where(np.arange(n) % 2 == 0, 1, 2).astype(np.int64),
+                "event_type": [f"t{i % 3}" for i in range(n)],
+                "value": np.zeros(n),
+                "props": [""] * n,
+            }
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pandas(df), sf / "events.parquet")
+        out = q2.q_user_event_sequences(str(sf))
+        assert len(out) == 2
+        # ts descends with event_id, so sequence order reverses event_id
+        u1 = df[df.user_id == 1].sort_values(["ts", "event_id"])
+        want = "|".join(u1["event_type"].head(32))
+        assert out.loc[out.user_id == 1, "seq"].iloc[0] == want
+        assert (out["n_events"] <= 32).all()
