@@ -1514,6 +1514,59 @@ FROM documents d LEFT JOIN mx USING (doc_id)
 """
 
 
+def q_dedup_substring_clean(sf_dir: str):
+    """duplicated-substring REMOVAL (stages/dedup.py:
+    remove_dup_substrings) — Lee et al. 2022's cut step: token runs
+    covered by consecutive cross-doc duplicated 3-grams spanning >= 5
+    tokens are cut; remaining tokens re-join. Oracle: islands CTE ->
+    cut intervals -> NOT EXISTS anti-join -> ordered string_agg."""
+    return dd.remove_dup_substrings(
+        _t(sf_dir, "documents", ["doc_id", "text"], split=8), n=3, min_span=5
+    )
+
+
+DEDUP_SUBSTRING_CLEAN_SQL = """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS l
+  FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(l) AS w, unnest(range(1, len(l) + 1)) AS rn FROM lists
+),
+g AS (
+  SELECT a.doc_id, a.rn, a.w || chr(31) || b.w || chr(31) || c.w AS g
+  FROM w a
+  JOIN w b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+  JOIN w c ON c.doc_id = a.doc_id AND c.rn = a.rn + 2
+),
+df AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g),
+hits AS (SELECT g.doc_id, g.rn FROM g JOIN df USING (g) WHERE df.df >= 2),
+isl AS (
+  SELECT doc_id, rn,
+         rn - row_number() OVER (PARTITION BY doc_id ORDER BY rn) AS grpk
+  FROM hits
+),
+runs AS (
+  SELECT doc_id, min(rn) AS lo, min(rn) + count(*) + 1 AS hi
+  FROM isl GROUP BY doc_id, grpk HAVING count(*) + 2 >= 5
+),
+kept AS (
+  SELECT t.doc_id, t.rn, t.w FROM w t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM runs r
+    WHERE r.doc_id = t.doc_id AND t.rn BETWEEN r.lo AND r.hi
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY rn) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(agg.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup semantic dedup over embeddings (spherical k-means +
     within-cluster keep-first cosine prune; stages/dedup.py). Rows-only:
@@ -1543,6 +1596,7 @@ EXT2_QUERIES = {
     "novel_docs": q_novel_docs,
     "neardup_best_survivors": q_neardup_best_survivors,
     "user_event_sequences": q_user_event_sequences,
+    "dedup_substring_clean": q_dedup_substring_clean,
     "pack_sequences": q_pack_sequences,
     "repetition_stats": q_repetition_stats,
     "phash_dup_clusters": q_phash_dup_clusters,
@@ -1571,6 +1625,7 @@ EXT2_ORACLE = {
     "novel_docs": NOVEL_DOCS_SQL,
     "neardup_best_survivors": NEARDUP_BEST_SQL,
     "user_event_sequences": USER_EVENT_SEQ_SQL,
+    "dedup_substring_clean": DEDUP_SUBSTRING_CLEAN_SQL,
     "phash_dup_clusters": PHASH_DUP_CLUSTERS_SQL,
     "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
     "nearest_site_join": NEAREST_SITE_SQL,

@@ -2252,3 +2252,91 @@ def best_per_cluster_survivors(
         return t.select([id_col]).filter(pa.array(m))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring REMOVAL (Lee et al. 2022's cut step)
+# ---------------------------------------------------------------------------
+
+
+def remove_dup_substrings(
+    ds: rd.Dataset,
+    *,
+    n: int = 3,
+    min_span: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """The removal step of substring dedup (Lee et al. 2022): cut from
+    every document the token runs covered by consecutive duplicated
+    n-grams (each gram in >= 2 distinct docs) spanning >= ``min_span``
+    tokens, and re-join the remaining tokens with single spaces.
+    Returns (doc_id, text_clean) for every doc — whitespace-normalized
+    (split on ' ', empties dropped), '' when everything was cut.
+
+    Shape: pass 1 is the shared ``_dup_gram_fold``; pass 2 broadcasts
+    the dup-gram set and, per batch, marks cut intervals with a
+    vectorized +1/-1 prefix-sum over the flattened token array (run
+    detection identical to dup_substring_span); reconstruction is one
+    C-level ' '.join per doc. The >broadcast-budget regime routes
+    through the span operator's join/bucket machinery first to find
+    affected docs, then cuts only those — not implemented here because
+    the dup-gram set is the SAME budget object dup_ngram_density
+    already routes on."""
+    _, n_dup, dup, dup_local = _dup_gram_fold(ds, n, id_col, text_col)
+    if dup is not None:
+        dup_local = (
+            dup.to_pandas()["g"].to_numpy() if n_dup else np.empty(0, object)
+        )
+    dset_ref = ray.put(frozenset(dup_local.tolist()))
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        import itertools
+
+        dset = ray.get(dset_ref)
+        ids = df[id_col].to_numpy(np.int64)
+        s = df[text_col].fillna("").astype(str)
+        tok_lists = [[w for w in t.split(" ") if w] for t in s]
+        lens = np.fromiter(
+            (len(t) for t in tok_lists), np.int64, count=len(tok_lists)
+        )
+        total = int(lens.sum())
+        flat = np.fromiter(
+            itertools.chain.from_iterable(tok_lists), dtype=object, count=total
+        )
+        drop = np.zeros(total + 1, np.int64)  # +1/-1 interval marks
+        gg = _doc_grams(df, n, id_col, text_col, distinct=False)
+        if len(gg):
+            h = gg["g"].isin(dset).to_numpy()
+            gid = gg[id_col].to_numpy(np.int64)
+            rn = gg["rn"].to_numpy(np.int64)
+            change = np.empty(len(h), bool)
+            change[0] = True
+            change[1:] = (gid[1:] != gid[:-1]) | (h[1:] != h[:-1])
+            starts = np.flatnonzero(change)
+            run_len = np.diff(np.append(starts, len(h)))
+            keep = h[starts] & (run_len + (n - 1) >= min_span)
+            if keep.any():
+                doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                # batch-local doc row of each run start (ids may be unsorted)
+                dsel = gid[starts][keep]
+                id_to_row = {int(i): r for r, i in enumerate(ids)}
+                rows = np.fromiter(
+                    (id_to_row[int(i)] for i in dsel), np.int64, count=len(dsel)
+                )
+                lo = doc_starts[rows] + rn[starts][keep]
+                hi = lo + run_len[keep] + (n - 1)
+                np.add.at(drop, lo, 1)
+                np.add.at(drop, hi, -1)
+        kept = ~(np.cumsum(drop[:-1]) > 0)
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        k_flat, k_doc = flat[kept], doc_idx[kept]
+        # doc_idx ascends, so per-doc slices come from one searchsorted
+        bounds = np.searchsorted(k_doc, np.arange(len(ids) + 1))
+        out = [
+            " ".join(k_flat[bounds[r] : bounds[r + 1]])
+            for r in range(len(ids))
+        ]
+        return pd.DataFrame({id_col: ids, "text_clean": out})
+
+    return ds.map_batches(cut, batch_format="pandas")

@@ -1153,3 +1153,46 @@ class TestBestPerClusterSurvivors:
             quality_col="n_chars",
         ).to_pandas()
         assert sorted(got["doc_id"].tolist()) == [0, 1, 2, 3]
+
+
+class TestRemoveDupSubstrings:
+    def _docs(self):
+        texts = [
+            "aa bb cc dd ee xx yy zz",          # shares 5-run aa..ee with doc1
+            "pp aa bb cc dd ee qq rr",          # same 5-run mid-doc
+            "unrelated words entirely here now",
+            "aa bb cc",                          # 3-run only (< min_span 5): kept
+            "",
+        ]
+        return pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+
+    def test_cuts_long_runs_keeps_short(self, ray_session):
+        df = self._docs()
+        got = (
+            dd.remove_dup_substrings(
+                rd.from_pandas(df).repartition(3), n=3, min_span=5
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = {
+            0: "xx yy zz",
+            1: "pp qq rr",
+            2: "unrelated words entirely here now",
+            3: "aa bb cc",   # run of 1 dup gram spans 3 < 5 -> kept
+            4: "",
+        }
+        assert dict(zip(got["doc_id"], got["text_clean"])) == want
+
+    def test_no_dups_identity(self, ray_session):
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(2, dtype=np.int64),
+                "text": ["one two three four", "five six seven eight"],
+            }
+        )
+        got = dd.remove_dup_substrings(rd.from_pandas(df)).to_pandas()
+        assert sorted(got["text_clean"]) == sorted(df["text"])
