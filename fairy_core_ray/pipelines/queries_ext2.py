@@ -1514,6 +1514,42 @@ FROM documents d LEFT JOIN mx USING (doc_id)
 """
 
 
+def q_table_profile(sf_dir: str):
+    """generic per-column table profile (stages/profile.py:
+    profile_table) over documents — n_rows / n_nulls / min / max / sum
+    per column, typed partial fold (int mins as ints, not rendered
+    strings). Exact, one streaming pass."""
+    from fairy_core_ray.stages.profile import profile_table
+
+    return profile_table(
+        _t(sf_dir, "documents", ["doc_id", "n_chars", "lang", "source"], split=8),
+        int_cols=["doc_id", "n_chars"],
+        str_cols=["lang", "source"],
+    )
+
+
+TABLE_PROFILE_SQL = """
+SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(min(doc_id) AS VARCHAR) AS min_v, CAST(max(doc_id) AS VARCHAR) AS max_v,
+       CAST(sum(doc_id) AS BIGINT) AS sum_v FROM documents
+UNION ALL
+SELECT 'lang', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       min(lang), max(lang), 0 FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
+       CAST(sum(n_chars) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'source', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       min(source), max(source), 0 FROM documents
+ORDER BY "column"
+"""
+
+
 def q_dedup_substring_clean(sf_dir: str):
     """duplicated-substring REMOVAL (stages/dedup.py:
     remove_dup_substrings) — Lee et al. 2022's cut step: token runs
@@ -1597,6 +1633,7 @@ EXT2_QUERIES = {
     "neardup_best_survivors": q_neardup_best_survivors,
     "user_event_sequences": q_user_event_sequences,
     "dedup_substring_clean": q_dedup_substring_clean,
+    "table_profile": q_table_profile,
     "pack_sequences": q_pack_sequences,
     "repetition_stats": q_repetition_stats,
     "phash_dup_clusters": q_phash_dup_clusters,
@@ -1626,6 +1663,7 @@ EXT2_ORACLE = {
     "neardup_best_survivors": NEARDUP_BEST_SQL,
     "user_event_sequences": USER_EVENT_SEQ_SQL,
     "dedup_substring_clean": DEDUP_SUBSTRING_CLEAN_SQL,
+    "table_profile": TABLE_PROFILE_SQL,
     "phash_dup_clusters": PHASH_DUP_CLUSTERS_SQL,
     "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
     "nearest_site_join": NEAREST_SITE_SQL,

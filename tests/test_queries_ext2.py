@@ -474,3 +474,25 @@ class TestUserEventSequences:
         want = "|".join(u1["event_type"].head(32))
         assert out.loc[out.user_id == 1, "seq"].iloc[0] == want
         assert (out["n_events"] <= 32).all()
+
+
+class TestTableProfile:
+    def test_typed_fold_and_nulls(self, ray_session):
+        import ray.data as rd
+
+        from fairy_core_ray.stages.profile import profile_table
+
+        df = pd.DataFrame(
+            {
+                # int values straddling the "100" < "99" string trap
+                "a": pd.array([99, 100, 5, None], dtype="Int64"),
+                "s": ["zebra", None, "apple", "mango"],
+            }
+        )
+        out = profile_table(
+            rd.from_pandas(df).repartition(3), int_cols=["a"], str_cols=["s"]
+        ).set_index("column")
+        assert out.loc["a", "min_v"] == "5" and out.loc["a", "max_v"] == "100"
+        assert out.loc["a", "n_nulls"] == 1 and out.loc["a", "sum_v"] == 204
+        assert out.loc["s", "min_v"] == "apple" and out.loc["s", "max_v"] == "zebra"
+        assert out.loc["s", "n_rows"] == 4 and out.loc["s", "n_nulls"] == 1
