@@ -1180,6 +1180,91 @@ FROM documents d LEFT JOIN cnt USING (doc_id)
 """
 
 
+_LATE_US = 30 * 60 * 1_000_000  # 30-minute watermark
+
+
+def q_late_events(sf_dir: str):
+    """watermark / late-data diagnostic (streaming-shaped): events whose
+    event time lags the user's running high-water mark (max ts over
+    PRIOR arrivals) by more than 30 minutes — what an event-time window
+    would have already closed on. The synth stream is ts-ordered by
+    event_id, so arrival order is a deterministic splitmix64
+    permutation of event_id (bijective; the SAME three-stage hash the
+    SQL oracle re-derives via pipelines/sql_hash.py) — a shuffled-
+    arrival replay. One hash-bucketed shuffle; in-bucket work is a
+    vectorized sort + cythonized grouped cummax shifted one row; lag
+    emitted as exact integer microseconds."""
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id"], split=8)
+
+    def attach_fb(df: pd.DataFrame) -> pd.DataFrame:
+        from fairy_core_ray.functions.hashing import splitmix64
+
+        u = df["user_id"].to_numpy(np.int64)
+        df = df.copy()
+        df["fb"] = (splitmix64(u.view(np.uint64)) % np.uint64(256)).astype(np.int64)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from fairy_core_ray.functions.hashing import splitmix64
+
+        df = df.assign(
+            arr=splitmix64(df["event_id"].to_numpy(np.int64).view(np.uint64))
+        ).sort_values(["user_id", "arr"], kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        us = df["ts"].to_numpy("datetime64[us]").view(np.int64)
+        start = np.r_[True, u[1:] != u[:-1]]
+        grp = np.cumsum(start) - 1
+        # cythonized grouped cummax; previous row's INCLUSIVE cummax is
+        # this row's prior-events high-water mark (group starts masked)
+        hwm_incl = pd.Series(us).groupby(grp, sort=False).cummax().to_numpy()
+        hwm = np.r_[np.int64(0), hwm_incl[:-1]]
+        lag = hwm - us
+        m = ~start & (lag > _LATE_US)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64)[m],
+                "user_id": u[m],
+                "lag_us": lag[m].astype(np.int64),
+            }
+        )
+
+    out = (
+        ev.map_batches(attach_fb, batch_format="pandas")
+        .groupby("fb")
+        .map_groups(
+            lambda df: per_bucket(df.drop(columns=["fb"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _late_events_sql() -> str:
+    from fairy_core_ray.pipelines import sql_hash as sh
+
+    arr = sh.sm_stage3(sh.sm_stage2(sh.sm_stage1("CAST(event_id AS UBIGINT)")))
+    return f"""
+WITH a AS (SELECT event_id, user_id, ts, {arr} AS arr FROM events),
+h AS (
+  SELECT event_id, user_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY arr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+  FROM a
+)
+SELECT event_id, user_id,
+       CAST(epoch_us(hwm) - epoch_us(ts) AS BIGINT) AS lag_us
+FROM h
+WHERE hwm IS NOT NULL AND epoch_us(hwm) - epoch_us(ts) > {_LATE_US}
+ORDER BY event_id
+"""
+
+
+LATE_EVENTS_SQL = _late_events_sql()
+
+
 _SEQ_MAX = 32
 
 
@@ -1634,6 +1719,7 @@ EXT2_QUERIES = {
     "user_event_sequences": q_user_event_sequences,
     "dedup_substring_clean": q_dedup_substring_clean,
     "table_profile": q_table_profile,
+    "late_events": q_late_events,
     "pack_sequences": q_pack_sequences,
     "repetition_stats": q_repetition_stats,
     "phash_dup_clusters": q_phash_dup_clusters,
@@ -1664,6 +1750,7 @@ EXT2_ORACLE = {
     "user_event_sequences": USER_EVENT_SEQ_SQL,
     "dedup_substring_clean": DEDUP_SUBSTRING_CLEAN_SQL,
     "table_profile": TABLE_PROFILE_SQL,
+    "late_events": LATE_EVENTS_SQL,
     "phash_dup_clusters": PHASH_DUP_CLUSTERS_SQL,
     "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
     "nearest_site_join": NEAREST_SITE_SQL,
