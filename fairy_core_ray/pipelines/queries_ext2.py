@@ -1476,7 +1476,8 @@ thr AS (
 )
 SELECT d.doc_id, d.source
 FROM documents d JOIN thr USING (source)
-WHERE ((d.doc_id * 2654435761) % 1000003) * thr.c < thr.need * 1000003
+WHERE (((CAST(d.doc_id AS HUGEINT) * 2654435761) % 18446744073709551616)
+       % 1000003) * thr.c < thr.need * 1000003
 ORDER BY d.doc_id
 """
 
@@ -1529,7 +1530,8 @@ plan AS (
 SELECT doc_id, source, CAST(unnest(range(CAST(reps AS BIGINT))) AS BIGINT) AS epoch
 FROM (
   SELECT d.doc_id, d.source,
-         p.ep + CASE WHEN ((d.doc_id * 2654435761) % 1000003) * p.c
+         p.ep + CASE WHEN (((CAST(d.doc_id AS HUGEINT) * 2654435761)
+                            % 18446744073709551616) % 1000003) * p.c
                        < p.rn * 1000003
                 THEN 1 ELSE 0 END AS reps
   FROM documents d JOIN plan p USING (source)
@@ -1553,7 +1555,9 @@ def q_hash_split(sf_dir: str):
 
 HASH_SPLIT_SQL = """
 SELECT doc_id,
-       CASE WHEN ((doc_id + 2654435769) * 2654435761) % 1000003 % 1000 < 100
+       CASE WHEN ((((CAST(doc_id AS HUGEINT) + 2654435769)
+                    % 18446744073709551616) * 2654435761)
+                  % 18446744073709551616) % 1000003 % 1000 < 100
             THEN 'eval' ELSE 'train' END AS split
 FROM documents ORDER BY doc_id
 """

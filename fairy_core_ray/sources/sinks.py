@@ -32,6 +32,24 @@ from fairy_core_ray.state.manifest import now_utc_iso_z
 
 MANIFEST_NAME = "_completed_partitions.json"
 
+_SAFE_CHARS = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789._-"
+)
+
+
+def _safe_key(key: str) -> str:
+    """Percent-encode a partition key for use in a filename: characters
+    outside [A-Za-z0-9._-] (e.g. '/', '\\\\', ':') become %XX of their
+    UTF-8 bytes, and a literal '%' is itself encoded — the mapping is
+    injective, so two distinct keys can never collide or escape
+    out_root. The manifest stores the ORIGINAL key."""
+    if all(c in _SAFE_CHARS for c in key):
+        return key
+    return "".join(
+        c if c in _SAFE_CHARS else "".join(f"%{b:02X}" for b in c.encode())
+        for c in key
+    )
+
 
 def _load_manifest(out_root: str) -> dict[str, dict]:
     p = os.path.join(out_root, MANIFEST_NAME)
@@ -90,7 +108,7 @@ def write_partitioned_resumable(
         if order_col is not None:
             g = g.sort_values(order_col, kind="mergesort")
         g = g.reset_index(drop=True)
-        fname = os.path.join(out_root, f"part-{key}.parquet")
+        fname = os.path.join(out_root, f"part-{_safe_key(key)}.parquet")
         tmp = fname + ".tmp"
         pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
         os.replace(tmp, fname)

@@ -2217,13 +2217,18 @@ def best_per_cluster_survivors(
         ids = df[id_col].to_numpy(np.int64)
         m = np.fromiter((i in mr for i in ids), bool, count=len(ids))
         sub_ids = ids[m]
+        q = df[quality_col].to_numpy()  # native dtype: float scores must
+        if not np.issubdtype(q.dtype, np.number):  # not truncate to int
+            raise TypeError(
+                f"quality_col {quality_col!r} must be numeric, got {q.dtype}"
+            )
         return pd.DataFrame(
             {
                 "rep": np.fromiter(
                     (mr[i] for i in sub_ids), np.int64, count=len(sub_ids)
                 ),
                 "id": sub_ids,
-                "q": df[quality_col].to_numpy(np.int64)[m],
+                "q": q[m],
             }
         )
 
@@ -2266,6 +2271,7 @@ def remove_dup_substrings(
     min_span: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_budget: int | None = None,
 ) -> rd.Dataset:
     """The removal step of substring dedup (Lee et al. 2022): cut from
     every document the token runs covered by consecutive duplicated
@@ -2278,12 +2284,23 @@ def remove_dup_substrings(
     the dup-gram set and, per batch, marks cut intervals with a
     vectorized +1/-1 prefix-sum over the flattened token array (run
     detection identical to dup_substring_span); reconstruction is one
-    C-level ' '.join per doc. The >broadcast-budget regime routes
-    through the span operator's join/bucket machinery first to find
-    affected docs, then cuts only those — not implemented here because
-    the dup-gram set is the SAME budget object dup_ngram_density
-    already routes on."""
+    C-level ' '.join per doc. The >broadcast-budget regime (dup-gram
+    set larger than ``broadcast_budget``) is NOT implemented — it
+    would route through the span operator's join/bucket machinery to
+    find affected docs first — so rather than silently OOM the driver
+    / object store on a huge broadcast, the guard below fails loudly
+    (same posture as SemDeDup's ``max_cluster`` guard)."""
+    if broadcast_budget is None:
+        broadcast_budget = DUP_GRAM_BROADCAST_BUDGET
     _, n_dup, dup, dup_local = _dup_gram_fold(ds, n, id_col, text_col)
+    if n_dup > broadcast_budget:
+        raise ValueError(
+            f"remove_dup_substrings: dup-gram set ({n_dup}) exceeds the "
+            f"broadcast budget ({broadcast_budget}); the join-path "
+            "fallback is not implemented for the removal step — raise "
+            "broadcast_budget only if the driver/object store can hold "
+            "the set, or pre-filter docs with dup_substring_span"
+        )
     if dup is not None:
         dup_local = (
             dup.to_pandas()["g"].to_numpy() if n_dup else np.empty(0, object)

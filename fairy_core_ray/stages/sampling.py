@@ -24,6 +24,19 @@ HASH_MULT = 2654435761
 HASH_MOD = 1000003  # prime: h in [0, HASH_MOD)
 
 
+def _gate_hash(ids: np.ndarray, salt: int = 0) -> np.ndarray:
+    """(id + salt) * HASH_MULT % HASH_MOD computed in uint64 — the
+    multiply wraps mod 2^64 instead of silently wrapping SIGNED int64
+    (whose numpy modulo diverges from DuckDB BIGINT semantics for ids
+    above ~3.46e9, i.e. exactly the 10^12-row regime this module
+    targets). SQL oracles mirror the wrap with
+    ``% 18446744073709551616`` in HUGEINT (see queries_ext2
+    MIX_SOURCES_SQL / HASH_SPLIT_SQL / MIX_EPOCHS_SQL)."""
+    u = ids.astype(np.int64, copy=False).view(np.uint64)
+    h = ((u + np.uint64(salt)) * np.uint64(HASH_MULT)) % np.uint64(HASH_MOD)
+    return h.astype(np.int64)  # < HASH_MOD: exact in int64
+
+
 def mixture_keep_thresholds(
     counts: dict[str, int], weights: dict[str, int]
 ) -> dict[str, tuple[int, int]]:
@@ -82,7 +95,7 @@ def mix_sources(
 
     def gate(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy().astype(np.int64)
-        h = (ids * HASH_MULT) % HASH_MOD
+        h = _gate_hash(ids)
         src = t[source_col].to_pandas()
         need = src.map({s: v[0] for s, v in thr.items()}).fillna(0)
         cnt = src.map({s: v[1] for s, v in thr.items()}).fillna(1)
@@ -107,7 +120,7 @@ def hash_split(
 
     def tag(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy().astype(np.int64)
-        h = ((ids + salt) * HASH_MULT) % HASH_MOD % 1000
+        h = _gate_hash(ids, salt) % 1000
         return t.append_column(
             "split",
             pa.array(np.where(h < permille, "eval", "train")),
@@ -197,7 +210,7 @@ def mix_sources_epochs(
         ep = src.map({s: v[0] for s, v in plan.items()}).fillna(0).to_numpy(np.int64)
         need = src.map({s: v[1] for s, v in plan.items()}).fillna(0).to_numpy(np.int64)
         cnt = src.map({s: v[2] for s, v in plan.items()}).fillna(1).to_numpy(np.int64)
-        h = (ids * HASH_MULT) % HASH_MOD
+        h = _gate_hash(ids)
         reps = ep + (h * cnt < need * HASH_MOD)
         idx = np.repeat(np.arange(len(ids), dtype=np.int64), reps)
         starts = np.repeat(np.cumsum(reps) - reps, reps)

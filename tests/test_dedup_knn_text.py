@@ -1139,6 +1139,41 @@ class TestBestPerClusterSurvivors:
         )
         assert got == [1, 3, 4, 5]
 
+    def test_float_quality_not_truncated(self, ray_session):
+        # qualities [1.2, 1.9, 1.5]: float argmax is id 1; an int64
+        # cast would truncate all to 1 -> tie -> wrongly keep id 0
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(3, dtype=np.int64),
+                "score": np.array([1.2, 1.9, 1.5], np.float64),
+            }
+        )
+        clusters = pd.DataFrame({"id": [0, 1, 2], "rep": [0, 0, 0]})
+        got = (
+            dd.best_per_cluster_survivors(
+                rd.from_pandas(docs).repartition(2),
+                clusters,
+                id_col="doc_id",
+                quality_col="score",
+            )
+            .to_pandas()["doc_id"]
+            .tolist()
+        )
+        assert got == [1]
+
+    def test_non_numeric_quality_raises(self, ray_session):
+        docs = pd.DataFrame(
+            {"doc_id": np.arange(2, dtype=np.int64), "score": ["a", "b"]}
+        )
+        clusters = pd.DataFrame({"id": [0, 1], "rep": [0, 0]})
+        with pytest.raises(Exception, match="must be numeric"):
+            dd.best_per_cluster_survivors(
+                rd.from_pandas(docs),
+                clusters,
+                id_col="doc_id",
+                quality_col="score",
+            ).materialize()
+
     def test_empty_clusters_all_survive(self, ray_session):
         docs = pd.DataFrame(
             {
@@ -1196,3 +1231,11 @@ class TestRemoveDupSubstrings:
         )
         got = dd.remove_dup_substrings(rd.from_pandas(df)).to_pandas()
         assert sorted(got["text_clean"]) == sorted(df["text"])
+
+    def test_over_budget_fails_loudly(self, ray_session):
+        # the removal step has no join fallback: a dup-gram set above
+        # the broadcast budget must raise, not OOM the object store
+        with pytest.raises(ValueError, match="broadcast budget"):
+            dd.remove_dup_substrings(
+                rd.from_pandas(self._docs()), broadcast_budget=0
+            )

@@ -92,6 +92,34 @@ class TestHashSplit:
         assert (m1 == m2).all()
 
 
+class TestGateHashWrap:
+    def test_uint64_wrap_matches_duckdb_hugeint(self):
+        # ids above ~3.46e9 overflow id*HASH_MULT in int64; the gate
+        # computes in uint64 and the SQL oracles mirror the wrap with
+        # % 2^64 in HUGEINT — bit-exact at the claimed 10^12-row scale
+        import duckdb
+
+        from fairy_core_ray.stages.sampling import _gate_hash
+
+        ids = np.array(
+            [0, 1, 12345, 3_460_000_000, 4_000_000_000, 10**12, 2**62, 2**63 - 1],
+            dtype=np.int64,
+        )
+        vals = ",".join(str(i) for i in ids)
+        sql_mix = duckdb.sql(
+            "SELECT ((CAST(i AS HUGEINT) * 2654435761) % 18446744073709551616)"
+            f" % 1000003 AS h FROM (SELECT unnest([{vals}]) AS i)"
+        ).fetchnumpy()["h"].astype(np.int64)
+        assert (_gate_hash(ids) == sql_mix).all()
+        salt = 0x9E3779B9
+        sql_split = duckdb.sql(
+            f"SELECT ((((CAST(i AS HUGEINT) + {salt}) % 18446744073709551616)"
+            " * 2654435761) % 18446744073709551616) % 1000003 % 1000 AS h"
+            f" FROM (SELECT unnest([{vals}]) AS i)"
+        ).fetchnumpy()["h"].astype(np.int64)
+        assert (_gate_hash(ids, salt) % 1000 == sql_split).all()
+
+
 class TestMixEpochs:
     def test_plan_apportionment_exact(self):
         from fairy_core_ray.stages.sampling import mixture_epoch_plan

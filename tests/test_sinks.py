@@ -104,3 +104,34 @@ class TestResumableSink:
         assert {k: v["sha256"] for k, v in m1.items()} == {
             k: v["sha256"] for k, v in m2.items()
         }
+
+    def test_hostile_partition_keys_sanitized(self, ray_session, tmp_path):
+        # keys with '/', '..', '%' must neither escape out_root nor
+        # collide; the manifest keeps the ORIGINAL key
+        df = pd.DataFrame(
+            {
+                "k": ["a/b", "a%2Fb", "../evil", "ok-1"],
+                "row_id": np.arange(4, dtype=np.int64),
+            }
+        )
+        out = str(tmp_path / "o")
+        r = write_partitioned_resumable(
+            rd.from_pandas(df), out, partition_col="k", order_col="row_id"
+        )
+        assert r["written"] == 4
+        files = sorted(
+            os.path.basename(p) for p in glob.glob(f"{out}/part-*.parquet")
+        )
+        assert len(files) == 4 and len(set(files)) == 4
+        # nothing written outside out_root
+        assert not (tmp_path / "evil").exists()
+        assert all("/" not in f and "%2F" != f for f in files)
+        man = _load_manifest(out)
+        assert set(man) == set(df["k"])
+        for v in man.values():
+            assert os.path.dirname(v["path"]) == out
+        # resume skips everything by original key
+        r2 = write_partitioned_resumable(
+            rd.from_pandas(df), out, partition_col="k", order_col="row_id"
+        )
+        assert r2["written"] == 0 and r2["skipped"] == 4
