@@ -112,8 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query; rows-only
-    operators (LSH/minhash/simhash/langid/flagship image pipeline) are
-    deliberately omitted."""
+    operators (sampling-recall ANN, binary audio/image decode) are
+    deliberately omitted. minhash/simhash/fingerprints/flagship are
+    value-level via the SplitMix64-in-SQL renderings."""
     from fairy_core_ray.pipelines import queries_ext  # noqa: F401  (merges EXT_* into the registry)
     from fairy_core_ray.pipelines import queries_ext2  # noqa: F401  (merges EXT2_* into the registry)
     from fairy_core_ray.pipelines.queries import ORACLE

@@ -46,6 +46,35 @@ def hash_str_u64(values, seed: int = 0) -> np.ndarray:
     return out
 
 
+def polyhash_str_u64(values, seed: int = 0) -> np.ndarray:
+    """Seeded 64-bit hash of an array of (ASCII-safe) strings, fully
+    vectorized AND SQL-derivable: base-31 byte polynomial
+    ``sum_j byte_j * 31^j`` over wrapping uint64, splitmix64-finalized
+    with the hash_u64 seed fold. Unlike pandas' SipHash this is
+    reproducible in DuckDB (pipelines/sketch_sql.py renders it), which
+    is what upgrades the simhash sketch from rows-only to a value-level
+    oracle. Encoded bytes are laid out as one zero-padded (n, maxlen)
+    matrix — padding bytes contribute 0 to the polynomial, so no mask."""
+    vals = np.asarray(values, dtype=object)
+    if not len(vals):
+        return np.empty(0, _U64)
+    enc = np.char.encode(vals.astype("U"), "utf-8")
+    itemsize = max(enc.dtype.itemsize, 1)
+    mat = (
+        np.frombuffer(enc.tobytes(), dtype=np.uint8)
+        .reshape(len(vals), itemsize)
+        .astype(_U64)
+    )
+    with np.errstate(over="ignore"):
+        w = np.multiply.accumulate(
+            np.concatenate(
+                ([np.uint64(1)], np.full(itemsize - 1, 31, dtype=_U64))
+            )
+        )
+        h = (mat * w[None, :]).sum(axis=1, dtype=_U64)
+    return splitmix64(h ^ splitmix64(np.full(1, seed, dtype=_U64)))
+
+
 def popcount64(x: np.ndarray) -> np.ndarray:
     """Per-element popcount of a uint64/int64 array (SWAR, vectorized)."""
     v = x.astype(_U64, copy=True)

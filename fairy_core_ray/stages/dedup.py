@@ -39,7 +39,12 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from fairy_core_ray.functions.hashing import hamming64, hash_u64, splitmix64
+from fairy_core_ray.functions.hashing import (
+    hamming64,
+    hash_u64,
+    polyhash_str_u64,
+    splitmix64,
+)
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -291,16 +296,17 @@ def _bucket_bounds(comb_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 def _candidate_pairs(ids_all: np.ndarray, comb_sorted: np.ndarray) -> set[tuple]:
     """Distinct unordered id pairs per bucket (bucket-sorted input) —
     SMALL-path helper only; the big paths enumerate pairs distributedly
-    via groupby(...).map_groups(_emit_bucket_id_pairs)."""
-    starts, ends = _bucket_bounds(comb_sorted)
-    pairs: set[tuple] = set()
-    for s, e in zip(starts, ends):
-        ids = np.unique(ids_all[s:e])
-        if len(ids) < 2:
-            continue
-        iu, ju = np.triu_indices(len(ids), 1)
-        pairs.update(zip(ids[iu].tolist(), ids[ju].tolist()))
-    return pairs
+    via groupby(...).map_groups(_emit_bucket_id_pairs).
+
+    One C-level self-merge over ALL buckets (the _emit_fold_bucket_pairs
+    kernel) instead of a per-bucket triu_indices Python loop — the loop
+    was 1.3 s of the 6 s sf0.1 ngram_pairs wall at 19k buckets."""
+    if not len(ids_all):
+        return set()
+    df = pd.DataFrame({"k": comb_sorted, "id": ids_all}).drop_duplicates()
+    j = df.merge(df, on="k")
+    out = j.loc[j["id_x"] < j["id_y"], ["id_x", "id_y"]].drop_duplicates()
+    return set(zip(out["id_x"].tolist(), out["id_y"].tolist()))
 
 
 # Pair emission / count folds shuffle by hash(key) % PAIR_FOLD_BUCKETS
@@ -420,24 +426,27 @@ def _dataset_block_refs(mat_ds) -> list:
 
 
 @ray.remote
-def _jaccard_chunk(texts, pairs_chunk: list, gram_batch_fn, gram_arg: int, seed: int):
-    """Exact jaccard for one chunk of candidate pairs. Gram arrays
-    (sorted-unique u64) are computed ONCE per distinct doc in the chunk
-    with the batch kernel, then pairs intersect with numpy. ``texts`` is
-    either a dict (small broadcast) or a list of object refs to dict
-    chunks (big path — only the chunks this task's pairs touch)."""
+def _jaccard_chunk(texts, pairs_chunk: np.ndarray, gram_batch_fn, gram_arg: int, seed: int):
+    """Exact jaccard for one chunk of candidate pairs ((n, 2) int64
+    array — a zero-copy numpy buffer, NOT a Python tuple list: at 200k
+    candidates the per-element msgpack serialization of tuple lists was
+    ~2 s of driver wall). Gram arrays (sorted-unique u64) are computed
+    ONCE per distinct doc in the chunk with the batch kernel, then pairs
+    intersect with numpy. ``texts`` is either a dict (small broadcast)
+    or a list of object refs to dict chunks (big path — only the chunks
+    this task's pairs touch)."""
     if isinstance(texts, list):
         merged: dict = {}
         for d in ray.get(texts):
             merged.update(d)
         texts = merged
-    ids = sorted({i for p in pairs_chunk for i in p})
+    ids = np.unique(pairs_chunk).tolist()
     arrs = gram_batch_fn(
         pd.Series([str(texts.get(i, "")) for i in ids]), gram_arg, seed
     )
     cache = dict(zip(ids, arrs))
     out = []
-    for a, b in pairs_chunk:
+    for a, b in pairs_chunk.tolist():
         A, B = cache[a], cache[b]
         if not len(A) and not len(B):
             out.append((a, b, 1.0))
@@ -466,12 +475,16 @@ def _verified_jaccard_pairs(
     dict; above it each (id, text) block becomes a dict-chunk ref built
     by a Ray task, the driver keeps only id arrays + refs, and each
     verify task receives the chunk refs its pairs actually touch."""
-    cand_ids = {i for p in pairs for i in p}
+    # (n, 2) int64 array, lexsorted by (id_a, id_b): chunks then share
+    # left ids (per-task gram-cache hits) and slices serialize as one
+    # numpy buffer instead of 2n boxed ints
+    parr = np.array(list(pairs), dtype=np.int64).reshape(-1, 2)
+    parr = parr[np.lexsort((parr[:, 1], parr[:, 0]))]
+    cand_ids = set(np.unique(parr).tolist())
     fetched = _fetch_candidate_texts(ds, cand_ids, id_col, text_col)
-    ordered = sorted(pairs)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    nchunk = max(1, min(ncpu * 2, (len(ordered) + 255) // 256))
-    bounds = np.linspace(0, len(ordered), nchunk + 1).astype(int)
+    nchunk = max(1, min(ncpu * 2, (len(parr) + 255) // 256))
+    bounds = np.linspace(0, len(parr), nchunk + 1).astype(int)
     spans = [(s, e) for s, e in zip(bounds[:-1], bounds[1:]) if e > s]
     try:
         total_bytes = fetched.size_bytes() or 0
@@ -481,7 +494,7 @@ def _verified_jaccard_pairs(
         texts = fetched.to_pandas().set_index(id_col)[text_col].to_dict()
         tref = ray.put(texts)
         tasks = [
-            _jaccard_chunk.remote(tref, ordered[s:e], gram_fn, gram_arg, seed)
+            _jaccard_chunk.remote(tref, parr[s:e], gram_fn, gram_arg, seed)
             for s, e in spans
         ]
     else:
@@ -493,8 +506,10 @@ def _verified_jaccard_pairs(
         }  # ids only — O(candidate ids) driver memory, never the texts
         tasks = []
         for s, e in spans:
-            chunk = ordered[s:e]
-            need = sorted({id2blk[i] for p in chunk for i in p if i in id2blk})
+            chunk = parr[s:e]
+            need = sorted(
+                {id2blk[i] for i in np.unique(chunk).tolist() if i in id2blk}
+            )
             tasks.append(
                 _jaccard_chunk.remote(
                     [dict_refs[b] for b in need], chunk, gram_fn, gram_arg, seed
@@ -685,9 +700,11 @@ def simhash64(texts: pd.Series, seed: int = 42) -> np.ndarray:
 
     Vectorized across the whole batch: tokens are factorized once
     (pd.factorize, C-level), each DISTINCT token is hashed once with
-    pandas' vectorized SipHash (seed-keyed, process-stable), and the
-    per-(doc, bit) votes are a single ``np.add.at`` scatter — no per-doc
-    Python loop, no per-token hashlib calls."""
+    the vectorized seeded byte-polynomial hash (polyhash_str_u64 —
+    splitmix64-finalized and therefore DuckDB-derivable, the property
+    the simhash_pairs value-level oracle rests on), and the per-(doc,
+    bit) votes are one reduceat pass — no per-doc Python loop, no
+    per-token hashlib calls."""
     import itertools
 
     s = texts.fillna("").astype(str)
@@ -705,11 +722,7 @@ def simhash64(texts: pd.Series, seed: int = 42) -> np.ndarray:
     )
     doc_ids = np.repeat(np.arange(n), lens)
     codes, uniques = pd.factorize(flat, sort=False)
-    hs = pd.util.hash_array(
-        np.asarray(uniques, dtype=object),
-        hash_key=f"{seed & 0xFFFFFFFFFFFFFFFF:016x}"[:16],
-        categorize=False,
-    )
+    hs = polyhash_str_u64(np.asarray(uniques, dtype=object), seed)
     bit_idx = np.arange(64, dtype=np.uint64)
     signs = (
         ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1
