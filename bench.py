@@ -172,10 +172,22 @@ def headline(sf_dir: str, ncpus: int) -> dict:
     }
 
 
-def run_queries(sf_dir: str, full: bool = False) -> dict:
-    """Per-query wall times. Default: the 15-query headline subset the
-    driver trends round-to-round; ``full`` times EVERY registered query
-    (``--full`` / GRAFT_BENCH_FULL=1) so regressions in unbenched
+# Pinned ANN recall floors vs the exact embed_knn top-5, measured on the
+# deterministic sf0.1 corpus (seeded hyperplanes/centroids/codebooks →
+# recall is exactly reproducible; a drop means an index-path regression).
+# lsh_ann's 0.04 is its DESIGN behavior on this weakly-similar corpus
+# (top-5 at cosine ~0.37: 12-plane/4-table collision prob ~1%; cosine-LSH
+# targets high-similarity regimes — IVF/PQ are the scale paths here),
+# pinned so the bucketing path can't silently change. Floors assert only
+# on the sf0.1 recorded bench; other sf_dirs just report.
+ANN_RECALL_FLOORS = {"lsh_ann": 0.04, "ivf_ann": 0.4, "pq_ann": 0.9}
+
+
+def run_queries(sf_dir: str, full: bool = False) -> tuple[dict, dict]:
+    """Per-query wall times + ANN recall@5 vs exact. Default: the
+    headline subset the driver trends round-to-round (now incl. the ANN
+    family + semdedup — VERDICT r4 #7); ``full`` times EVERY registered
+    query (``--full`` / GRAFT_BENCH_FULL=1) so regressions in unbenched
     queries (asof_last_order, sessionize, ...) stay visible."""
     from fairy_core_ray.pipelines import queries_ext  # noqa: F401  (merges EXT_* into the registry)
     from fairy_core_ray.pipelines import queries_ext2  # noqa: F401  (merges EXT2_* into the registry)
@@ -207,16 +219,43 @@ def run_queries(sf_dir: str, full: bool = False) -> dict:
             "word_freq_stats",
             "novel_docs",
             "mix_sources",
+            "lsh_ann",
+            "ivf_ann",
+            "pq_ann",
+            "semdedup",
         ]
-    out = {}
+    out, kept = {}, {}
     for name in names:
         t0 = time.time()
         res = QUERIES[name](sf_dir)
         # consume
         if hasattr(res, "to_pandas"):
-            res.to_pandas()
+            res = res.to_pandas()
         out[name] = round(time.time() - t0, 3)
-    return out
+        if name == "embed_knn" or name in ANN_RECALL_FLOORS:
+            kept[name] = res
+        if name == "semdedup":
+            assert len(res) > 0, "semdedup produced no survivors"
+    recalls = {}
+    exact = kept.get("embed_knn")
+    if exact is not None and len(exact):
+        epairs = set(zip(exact["query_id"].astype(int), exact["neighbor_id"].astype(int)))
+        for name, floor in ANN_RECALL_FLOORS.items():
+            if name not in kept:
+                continue
+            got = kept[name]
+            gpairs = (
+                set(zip(got["query_id"].astype(int), got["neighbor_id"].astype(int)))
+                if len(got)
+                else set()
+            )
+            rec = len(epairs & gpairs) / len(epairs)
+            recalls[name] = round(rec, 3)
+            if "sf0.1" in sf_dir:
+                assert rec >= floor, (
+                    f"{name} recall@5 {rec:.3f} fell below pinned floor {floor}"
+                )
+    return out, recalls
 
 
 def _wait_ray_drained(max_wait: float = 30.0) -> None:
@@ -380,8 +419,8 @@ def main():
         if t + 1 < max_tries:
             time.sleep(gate_sleep if cand["eff_cores"] is not None
                        and cand["eff_cores"] < gate_frac * ncpus else 2.0)
-    queries = (
-        {}
+    queries, ann_recall = (
+        ({}, {})
         if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY")
         else run_queries(sf_dir, full=full)
     )
@@ -400,6 +439,9 @@ def main():
                 # this from the child JSON (it was silently dropped before,
                 # collapsing eff_per_core to the raw ratio)
                 "eff_cores": h.get("eff_cores"),
+                # deterministic recall@5 vs exact embed_knn, floors
+                # pinned in ANN_RECALL_FLOORS (asserted at sf0.1)
+                **({"ann_recall": ann_recall} if ann_recall else {}),
                 # every gated draw (sec, eff_cores) — shows whether the
                 # recorded number needed re-draws to escape a slow-host
                 # window (absent when the first draw cleared the gate)

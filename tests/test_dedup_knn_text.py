@@ -805,6 +805,27 @@ class TestSemDedup:
                 max_cluster=10,
             )
 
+    def test_derived_n_clusters_avoids_guard(self, ray_session):
+        """Paper-scaling default k = max(16, n // cluster_target)
+        (VERDICT r4 #5): at a forced-small max_cluster a fixed k=16
+        trips the guard, the derived k (n/target = 100 clusters over
+        2000 vectors) keeps every cluster under it."""
+        import ray.data as rd
+
+        df = self._table(n=2000)
+        ds = rd.from_pandas(df).repartition(4)
+        with pytest.raises(Exception, match="max_cluster"):
+            dd.semdedup_survivors(
+                ds, n_clusters=16, threshold=0.99,
+                train_sample=1 << 20, max_cluster=100,
+            )
+        got = dd.semdedup_survivors(
+            ds, cluster_target=20, threshold=0.99,
+            train_sample=1 << 20, max_cluster=100,
+        )
+        assert len(got) > 0
+        assert got["cluster"].value_counts().max() <= 100
+
 
 class TestDupNgramDensity:
     def _docs(self):

@@ -112,6 +112,20 @@ def test_geo_distance_join_sparse_pruned_and_exact(ray_session, tmp_path):
     )
 
 
+def test_geo_distance_join_bucketed_occ_path_equals_flat(ray_session):
+    """Above-budget occupied-cell route (VERDICT r4 #4): with a tiny
+    occ_budget the sorted cell set range-partitions into plasma bucket
+    refs and per-batch membership fetches only straddled buckets — the
+    pair set must be identical to the flat-broadcast path."""
+    from fairy_core_ray.pipelines.queries_ext import q_geo_distance_join
+
+    flat = q_geo_distance_join(SF)
+    bucketed = q_geo_distance_join(SF, occ_budget=7)  # forces many buckets
+    pd.testing.assert_frame_equal(
+        flat.reset_index(drop=True), bucketed.reset_index(drop=True)
+    )
+
+
 def test_dedup_survivors_complement(ray_session):
     """survivors + dropped == corpus; every dropped id is a cluster
     member with a smaller representative."""
