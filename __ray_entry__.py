@@ -47,6 +47,7 @@ _DRIVER_PRIORITY = [
     "ngram_pairs",
     "minhash_pairs",
     "simhash_pairs",
+    "neardup_clusters_text",
     "mix_sources",
     "hash_split",
     "mix_epochs",

@@ -1689,8 +1689,9 @@ def q_neardup_clusters(sf_dir: str):
 
 def q_neardup_clusters_text(sf_dir: str):
     """connected components over verified minhash near-dup pairs →
-    (id, rep) canonical clusters (rows-only; union-find pytest-tested —
-    the LSH candidate set is not SQL-expressible)."""
+    (id, rep) canonical clusters. Oracle: recursive-CTE reachability
+    over the SQL-re-derived minhash pairs
+    (sketch_sql.neardup_clusters_text_sql)."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"], split=16)
     pairs = dd.minhash_lsh_pairs(ds, threshold=0.5)
     out = dd.cluster_pairs(pairs)
@@ -1818,6 +1819,7 @@ ORACLE = {
     # signatures, poly31 token hashes — judge r4 next #2)
     "minhash_pairs": _sketch_sql.minhash_pairs_sql(),
     "simhash_pairs": _sketch_sql.simhash_pairs_sql(),
+    "neardup_clusters_text": _sketch_sql.neardup_clusters_text_sql(),
     "events_hopping": (
         "WITH two AS ("
         "SELECT event_type, (epoch_us(ts) // 1000000 // 1800) * 1800 AS win_start, value FROM events "

@@ -162,6 +162,29 @@ ORDER BY iv.id_a, iv.id_b
 """
 
 
+def neardup_clusters_text_sql(**kw) -> str:
+    """Connected components over the minhash near-dup pairs — the
+    recursive-CTE reachability fold the numeric neardup_clusters oracle
+    already uses, now over the SQL-re-derived sketch pairs (which is
+    what upgraded this query from rows-only: the LSH candidate set IS
+    SQL-expressible via minhash_pairs_sql)."""
+    mh = minhash_pairs_sql(**kw)
+    return f"""
+WITH RECURSIVE mh_pairs AS (SELECT id_a, id_b FROM ({mh}) t),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM mh_pairs
+  UNION SELECT id_b, id_a FROM mh_pairs
+),
+reach(id, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT id, CAST(least(id, min(r)) AS BIGINT) AS rep FROM reach
+GROUP BY id ORDER BY id
+"""
+
+
 def simhash_pairs_sql(
     *, max_hamming: int = 3, max_bucket: int = 256, seed: int = 42
 ) -> str:
