@@ -48,6 +48,11 @@ _DRIVER_PRIORITY = [
     "minhash_pairs",
     "simhash_pairs",
     "neardup_clusters_text",
+    "audio_windows",
+    "importance_sample",
+    "dedup_norm_text",
+    "snapshot_diff",
+    "heavy_hitters",
     "mix_sources",
     "hash_split",
     "mix_epochs",
@@ -104,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     verified entries lead (see _DRIVER_PRIORITY)."""
     from fairy_core_ray.pipelines import queries_ext  # noqa: F401  (merges EXT_* into the registry)
     from fairy_core_ray.pipelines import queries_ext2  # noqa: F401  (merges EXT2_* into the registry)
+    from fairy_core_ray.pipelines import queries_ext3  # noqa: F401  (merges EXT3_* into the registry)
     from fairy_core_ray.pipelines.queries import QUERIES
 
     ordered = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
@@ -118,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
     value-level via the SplitMix64-in-SQL renderings."""
     from fairy_core_ray.pipelines import queries_ext  # noqa: F401  (merges EXT_* into the registry)
     from fairy_core_ray.pipelines import queries_ext2  # noqa: F401  (merges EXT2_* into the registry)
+    from fairy_core_ray.pipelines import queries_ext3  # noqa: F401  (merges EXT3_* into the registry)
     from fairy_core_ray.pipelines.queries import ORACLE
 
     return dict(ORACLE)

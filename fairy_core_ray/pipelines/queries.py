@@ -1479,10 +1479,42 @@ def q_video_frame_sample(sf_dir: str):
     )
 
 
+AUDIO_WINDOWS_SQL = """
+WITH d AS (
+  SELECT doc_id, 1024 * (doc_id % 3 + 1) AS n, 32 + doc_id % 64 AS p
+  FROM documents
+),
+s AS (
+  SELECT doc_id, xs.x AS x, xs.x // 1024 AS widx,
+         CAST(trunc(sin(2 * pi() * xs.x / p) * 8000) AS BIGINT) AS v
+  FROM d CROSS JOIN LATERAL (SELECT unnest(range(n)) AS x) xs
+),
+w AS (
+  SELECT doc_id, widx, SUM(v * v) AS ss,
+         SUM(CASE WHEN x % 1024 > 0 AND ((v < 0) <> (pv < 0))
+                  THEN 1 ELSE 0 END) AS zc
+  FROM (SELECT *, lag(v) OVER (PARTITION BY doc_id, widx ORDER BY x) AS pv
+        FROM s)
+  GROUP BY doc_id, widx
+)
+SELECT 'a' || CAST(doc_id AS VARCHAR) AS audio_id,
+       CAST(widx AS BIGINT) AS window_idx,
+       sqrt(CAST(ss AS DOUBLE) / 1024.0) AS rms,
+       CAST(zc AS DOUBLE) / 1023.0 AS zcr
+FROM w ORDER BY audio_id, window_idx
+"""
+
+
 def q_audio_windows(sf_dir: str):
-    """audio window features (rows-only): deterministic PCM16 payloads
-    derived from doc_id, REAL decode (np.frombuffer) + vectorized
-    window RMS/zero-crossing in an actor pool."""
+    """audio window features: deterministic PCM16 payloads derived from
+    doc_id, REAL decode (np.frombuffer) + vectorized window RMS /
+    zero-crossing in an actor pool. Oracle: the sine-wave generator and
+    both features re-derived in SQL — pcm = trunc(sin(2*pi*x/p)*8000)
+    (identical float op order; the int16 cast truncates toward zero =
+    trunc), window RMS = sqrt(sum(v^2)/1024) with the sum of integer
+    squares < 2^53 (exact in ANY summation order, so numpy pairwise vs
+    SQL sequential summation cannot diverge), zcr = sign-changes/1023
+    (exact rational; single identical IEEE division both sides)."""
     from fairy_core_ray.stages.multimodal import AudioWindowStage
 
     def to_audio(t: pa.Table) -> pa.Table:
@@ -1820,6 +1852,7 @@ ORACLE = {
     "minhash_pairs": _sketch_sql.minhash_pairs_sql(),
     "simhash_pairs": _sketch_sql.simhash_pairs_sql(),
     "neardup_clusters_text": _sketch_sql.neardup_clusters_text_sql(),
+    "audio_windows": AUDIO_WINDOWS_SQL,
     "events_hopping": (
         "WITH two AS ("
         "SELECT event_type, (epoch_us(ts) // 1000000 // 1800) * 1800 AS win_start, value FROM events "

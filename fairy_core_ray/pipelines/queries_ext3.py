@@ -1,0 +1,336 @@
+"""Round-5 operator batch: curation/CDC shapes the earlier rounds did
+not cover — importance-weighted sampling, normalization-canonical
+dedup, snapshot (CDC) diff, and threshold heavy hitters.
+
+All four are SQL-oracle-backed (integer-exact gates, single-IEEE-op
+floats, md5 keys) and follow the repo's scale postures: streaming
+filters, per-batch partial combines, ×256 hash-bucketed group folds,
+broadcast-only small sides. The reference has no counterpart surface
+(its scope is CSV validation — /root/reference/src/fairy/core/
+rulepack_runner.py); these are the large-scale-pipeline additions the
+brief mandates, alongside stages/sampling.py and stages/dedup.py.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from fairy_core_ray.pipelines.queries import _t
+from fairy_core_ray.stages import dedup as dd
+from fairy_core_ray.stages.sampling import HASH_MOD, HASH_MULT, _gate_hash
+
+# ---------------------------------------------------------------------------
+# importance_sample — DSIR-flavored deterministic importance resampling
+# ---------------------------------------------------------------------------
+
+#: documents at/above this length are always kept (weight saturates at 1)
+IMPORTANCE_FULL_LEN = 500
+_IMPORTANCE_SALT = 71
+
+
+def q_importance_sample(sf_dir: str):
+    """Importance-weighted resampling (the DSIR shape, Xie et al. 2023):
+    keep each doc with probability proportional to a per-doc importance
+    weight — here ``min(1, n_chars / 500)``, a stand-in for an
+    importance-model score that is itself a column. The gate is the
+    repo's deterministic multiplicative hash (stages/sampling.py) with
+    an integer-exact rational comparison ``h * 500 < n_chars * M`` — no
+    float rounding, no RNG state, so the selection is reproducible
+    across reruns, block orders and cluster sizes, and a SQL oracle
+    reproduces it bit-for-bit. Zero shuffle: one streaming filter."""
+
+    def gate(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = _gate_hash(ids, salt=_IMPORTANCE_SALT)
+        n_chars = t["n_chars"].to_numpy()
+        keep = h * IMPORTANCE_FULL_LEN < n_chars * HASH_MOD
+        return t.filter(pa.array(keep))
+
+    return _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        gate, batch_format="pyarrow"
+    )
+
+
+IMPORTANCE_SAMPLE_SQL = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (((CAST(doc_id AS HUGEINT) + {_IMPORTANCE_SALT}) * {HASH_MULT})
+       % 18446744073709551616 % {HASH_MOD}) * {IMPORTANCE_FULL_LEN}
+      < n_chars * {HASH_MOD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_norm_text — normalization-canonical exact dedup
+# ---------------------------------------------------------------------------
+
+
+def _normalize_text(s: pd.Series) -> pd.Series:
+    """Canonical text form: casefold, strip non-alphanumerics to spaces,
+    collapse runs of spaces, trim. Regex classes are RE2/`re`-portable
+    (no lookaround/backrefs) so the DuckDB oracle applies the identical
+    transform."""
+    return (
+        s.fillna("")
+        .astype(str)
+        .str.lower()
+        .str.replace(r"[^a-z0-9 ]", " ", regex=True)
+        .str.replace(r" +", " ", regex=True)
+        .str.strip()
+    )
+
+
+def q_dedup_norm_text(sf_dir: str):
+    """Exact dedup on the NORMALIZED text (whitespace/punct/case
+    variants collapse to one key — the usual first pass before
+    near-dup sketching). Key = md5 of the canonical form (128-bit: no
+    birthday risk at 10^12 docs, unlike a 64-bit group key); output one
+    row per group: the min-doc_id survivor + the variant count.
+
+    Shape: per-batch vectorized normalize + md5 + local (key → min id,
+    count) partials, then a ×256 hash-bucketed ``map_groups`` fold —
+    the bucket count bounds task fan-out while each bucket folds its
+    keys in one vectorized pandas groupby (the repo's established
+    pattern, queries_ext2.py gap-fill/latest-per-key)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = dd.md5_hex(_normalize_text(df["text"]))
+        g = df.assign(k=k).groupby("k", sort=False)["doc_id"]
+        out = g.agg(["min", "size"]).reset_index()
+        out.columns = ["k", "doc_id", "n"]
+        # bucket from the key's first hex byte — same k → same bucket;
+        # per-distinct-key map, same bounded cost as the md5 itself
+        out["b"] = out["k"].map(lambda x: int(x[:2], 16)).astype(np.int64)
+        return out
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", sort=False).agg(
+            doc_id=("doc_id", "min"), n_variants=("n", "sum")
+        )
+        return g.reset_index(drop=True)[["doc_id", "n_variants"]].astype(
+            {"doc_id": np.int64, "n_variants": np.int64}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("b")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+DEDUP_NORM_TEXT_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS k
+  FROM documents
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_variants
+FROM norm GROUP BY k
+"""
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff — CDC-style diff between two snapshots of a keyed table
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Change-data-capture diff of two snapshots keyed on o_orderkey
+    (the incremental-ingest primitive next to novel_docs' anti-join):
+    emits ``added`` / ``removed`` / ``changed`` rows with the surviving
+    price. Snapshots are derived deterministically from orders (old
+    drops key%7==0, new drops key%11==0 and bumps price 10% where
+    key%5==0) so the diff is value-checkable in SQL.
+
+    Shape: tag each snapshot (src 0/1), union, then ONE shuffle — a
+    ×256 key-bucketed ``map_groups`` fold that pivots the ≤2 rows per
+    key vectorized (per bucket, not per key). No driver state; at
+    100 TB this is the same cost as any single hash-partition."""
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def snapshots(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        p = t["o_totalprice"].to_numpy()
+        old_mask = k % 7 != 0
+        new_mask = k % 11 != 0
+        new_price = np.where(k % 5 == 0, p * 1.1, p)
+        keys = np.concatenate([k[old_mask], k[new_mask]])
+        return pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "src": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(old_mask.sum(), np.int8),
+                            np.ones(new_mask.sum(), np.int8),
+                        ]
+                    )
+                ),
+                "price": pa.array(
+                    np.concatenate([p[old_mask], new_price[new_mask]]), pa.float64()
+                ),
+                "b": pa.array((keys % 256).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.pivot_table(
+            index="k", columns="src", values="price", aggfunc="first", dropna=False
+        )
+        has_old = w.get(0)
+        has_new = w.get(1)
+        old_p = has_old.to_numpy() if has_old is not None else np.full(len(w), np.nan)
+        new_p = has_new.to_numpy() if has_new is not None else np.full(len(w), np.nan)
+        added = np.isnan(old_p) & ~np.isnan(new_p)
+        removed = ~np.isnan(old_p) & np.isnan(new_p)
+        changed = ~np.isnan(old_p) & ~np.isnan(new_p) & (old_p != new_p)
+        keep = added | removed | changed
+        ctype = np.where(added, "added", np.where(removed, "removed", "changed"))
+        return pd.DataFrame(
+            {
+                "o_orderkey": w.index.to_numpy(np.int64)[keep],
+                "change_type": ctype[keep],
+                "price": np.where(removed, old_p, new_p)[keep],
+            }
+        )
+
+    return (
+        orders.map_batches(snapshots, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(diff, batch_format="pandas")
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey AS k, o_totalprice AS p FROM orders WHERE o_orderkey % 7 <> 0
+),
+new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * CAST(1.1 AS DOUBLE)
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 11 <> 0
+)
+SELECT coalesce(o.k, n.k) AS o_orderkey,
+       CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       coalesce(n.p, o.p) AS price
+FROM old o FULL JOIN new n ON o.k = n.k
+WHERE o.k IS NULL OR n.k IS NULL OR o.p <> n.p
+"""
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters — all terms above frequency 1/K (exact, two streaming passes)
+# ---------------------------------------------------------------------------
+
+HH_K = 100  # report terms with count * K > total tokens
+
+
+def _batch_word_counts(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, int]:
+    """Vectorized (words, counts, total) for one batch — word_topk's
+    split semantics (single space, empties dropped) so the SQL
+    tokenizer matches exactly."""
+    tok_lists = texts.fillna("").astype(str).str.split(" ")
+    total = int(tok_lists.map(len).sum())
+    if total == 0:
+        return np.empty(0, object), np.empty(0, np.int64), 0
+    flat = np.fromiter(
+        itertools.chain.from_iterable(tok_lists), dtype=object, count=total
+    )
+    flat = flat[flat != ""]
+    words, counts = np.unique(flat, return_counts=True)
+    return words, counts.astype(np.int64), int(len(flat))
+
+
+def q_heavy_hitters(sf_dir: str):
+    """All words with corpus frequency above 1/K (K=100) — the
+    threshold heavy-hitter query, solved EXACTLY in two streaming
+    passes with no big shuffle (vs word_topk's global top-k fold):
+
+    1. Candidates: each batch emits its LOCALLY heavy words
+       (cnt·K > batch_total). Averaging lemma: a globally heavy word is
+       locally heavy in ≥1 batch, so the union is a superset of the
+       answer; its size is bounded by K per batch and by the vocabulary.
+    2. Exact recount: candidates broadcast in the UDF closure (once per
+       worker process); each batch emits exact counts for candidate
+       words plus its token total; a vocabulary-bounded driver fold
+       applies ``cnt·K > N``. Above a candidate budget the fold swaps
+       for a distributed groupby — same routing note as word_topk."""
+    docs = _t(sf_dir, "documents", ["text"])
+
+    def local_heavy(df: pd.DataFrame) -> pd.DataFrame:
+        words, counts, total = _batch_word_counts(df["text"])
+        heavy = counts * HH_K > total
+        return pd.DataFrame({"w": words[heavy]})
+
+    cand_parts = docs.map_batches(local_heavy, batch_format="pandas")
+    cands: set[str] = set()
+    for b in cand_parts.iter_batches(batch_format="pandas"):
+        cands.update(b["w"])
+    cand_set = frozenset(cands)  # rides the UDF once per worker
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        words, counts, total = _batch_word_counts(df["text"])
+        m = np.fromiter((w in cand_set for w in words), bool, count=len(words))
+        return pd.DataFrame(
+            {
+                "w": np.append(words[m], ""),  # "" carries the batch total
+                "n": np.append(counts[m], total).astype(np.int64),
+            }
+        )
+
+    folded: dict[str, int] = {}
+    for b in docs.map_batches(recount, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        for w, n in zip(b["w"], b["n"]):
+            folded[w] = folded.get(w, 0) + int(n)
+    n_total = folded.pop("", 0)
+    out = [(w, n) for w, n in folded.items() if n * HH_K > n_total]
+    out.sort()
+    return pd.DataFrame(
+        {
+            "w": pd.Series([w for w, _ in out], dtype=object),
+            "n": pd.Series([n for _, n in out], dtype=np.int64),
+        }
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+nz AS (SELECT w FROM toks WHERE w <> ''),
+tot AS (SELECT count(*) AS c FROM nz)
+SELECT w, CAST(count(*) AS BIGINT) AS n
+FROM nz, tot GROUP BY w, c HAVING count(*) * {HH_K} > c
+"""
+
+
+EXT3_QUERIES = {
+    "importance_sample": q_importance_sample,
+    "dedup_norm_text": q_dedup_norm_text,
+    "snapshot_diff": q_snapshot_diff,
+    "heavy_hitters": q_heavy_hitters,
+}
+
+EXT3_ORACLE = {
+    "importance_sample": IMPORTANCE_SAMPLE_SQL,
+    "dedup_norm_text": DEDUP_NORM_TEXT_SQL,
+    "snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "heavy_hitters": HEAVY_HITTERS_SQL,
+}
+
+from fairy_core_ray.pipelines import queries as _q  # noqa: E402
+
+_q.QUERIES.update(EXT3_QUERIES)
+_q.ORACLE.update(EXT3_ORACLE)
