@@ -53,6 +53,9 @@ _DRIVER_PRIORITY = [
     "dedup_norm_text",
     "snapshot_diff",
     "heavy_hitters",
+    "geo_focal_mean",
+    "geo_grid_coarsen",
+    "od_matrix",
     "mix_sources",
     "hash_split",
     "mix_epochs",

@@ -316,11 +316,221 @@ FROM nz, tot GROUP BY w, c HAVING count(*) * {HH_K} > c
 """
 
 
+# ---------------------------------------------------------------------------
+# geo batch: raster map algebra, pyramid coarsening, OD mobility flows
+# ---------------------------------------------------------------------------
+
+
+def q_geo_focal_mean(sf_dir: str):
+    """Raster focal (neighborhood) statistics — the map-algebra
+    convolution primitive: for every grid cell whose 3×3 window holds
+    any data, the window count sum, the in-grid window size, and their
+    ratio. Consumes the distributedly-folded raster (grid-bounded, like
+    geo_vectorize/zonal — O(grid), corpus-independent); the convolution
+    is 9 padded numpy shift-adds on the dense grid. Above
+    RASTER_DRIVER_PIXELS the same op runs as a 9-way neighbor-offset
+    flat-map + groupby(pixel) sum — the raster fold already routes
+    there. focal_mean is ONE double division of exact integers, so the
+    SQL oracle is bit-exact."""
+    from fairy_core_ray.pipelines.queries import RASTER_H, RASTER_W, _raster
+
+    r = _raster(sf_dir)
+    grid = np.zeros((RASTER_H, RASTER_W), np.int64)
+    grid[r["py"].to_numpy(np.int64), r["px"].to_numpy(np.int64)] = r["n"].to_numpy(
+        np.int64
+    )
+    pad = np.pad(grid, 1)
+    ones = np.pad(np.ones_like(grid), 1)
+    s = np.zeros_like(grid)
+    nn = np.zeros_like(grid)
+    for dy in range(3):
+        for dx in range(3):
+            s += pad[dy : dy + RASTER_H, dx : dx + RASTER_W]
+            nn += ones[dy : dy + RASTER_H, dx : dx + RASTER_W]
+    py, px = np.nonzero(s)
+    return pd.DataFrame(
+        {
+            "px": px.astype(np.int64),
+            "py": py.astype(np.int64),
+            "focal_sum": s[py, px],
+            "n_nbrs": nn[py, px],
+            "focal_mean": s[py, px].astype(np.float64) / nn[py, px],
+        }
+    )
+
+
+def q_geo_grid_coarsen(sf_dir: str):
+    """Raster pyramid level (the web-map overview primitive): 8×8 sum
+    pooling of the 96×96 count raster to 12×12 — per coarse cell the
+    total count and the number of occupied fine cells. Integer-exact
+    on both sides."""
+    from fairy_core_ray.pipelines.queries import _raster
+
+    r = _raster(sf_dir)
+    g = (
+        r.assign(cx=r["px"] // 8, cy=r["py"] // 8)
+        .groupby(["cx", "cy"], sort=False)
+        .agg(n=("n", "sum"), n_src=("n", "size"))
+        .reset_index()
+    )
+    return g.astype({"cx": np.int64, "cy": np.int64, "n": np.int64, "n_src": np.int64})
+
+
+# below this many input events the OD pair fold runs on the driver
+# (partials are bounded by distinct observed zone pairs); above it, a
+# ×256 pairkey-bucketed distributed fold
+OD_DRIVER_EVENTS = 20_000_000
+
+
+def q_od_matrix(sf_dir: str):
+    """Origin-destination mobility flows: per user, events ordered by
+    (ts, event_id); each consecutive pair moving BETWEEN grid zones
+    (the 96×96 raster pixel) contributes one trip to its
+    (zone_from, zone_to) cell. The trajectory-mining aggregate behind
+    flow maps.
+
+    Shape: ×256 user-hash buckets (a user's whole trajectory lands in
+    one bucket — same co-location guarantee sessionize relies on);
+    inside a bucket one vectorized sort + shift per pandas frame; then
+    one small groupby over the zone-pair key folds the per-bucket
+    partials. Two shuffles total, both bounded by user count and zone²."""
+    from fairy_core_ray.pipelines.queries import (
+        RASTER_BBOX,
+        RASTER_H,
+        RASTER_W,
+        _t,
+        event_lonlat,
+    )
+    from fairy_core_ray.stages.raster_stages import pixel_of
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_zone(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lon, lat = event_lonlat(eid)
+        px, py = pixel_of(lon, lat, RASTER_BBOX, RASTER_W, RASTER_H)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "zone": pa.array(py * RASTER_W + px, pa.int64()),
+                "b": pa.array(
+                    (t["user_id"].to_numpy() % 256).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def trips(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same_user = df["user_id"].to_numpy()[1:] == df["user_id"].to_numpy()[:-1]
+        zf = df["zone"].to_numpy()[:-1]
+        zt = df["zone"].to_numpy()[1:]
+        m = same_user & (zf != zt)
+        out = pd.DataFrame({"zf": zf[m], "zt": zt[m]})
+        g = out.groupby(["zf", "zt"], sort=False).size().reset_index(name="n")
+        g["pairkey"] = g["zf"] * (RASTER_W * RASTER_H) + g["zt"]
+        g["pb"] = g["pairkey"] % 256  # bucket the pair fold too — one
+        # map_groups call per BUCKET, not per zone pair
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pairkey", sort=False).agg(
+            zone_from=("zf", "first"), zone_to=("zt", "first"), n_trips=("n", "sum")
+        )
+        return g.reset_index(drop=True).astype(
+            {"zone_from": np.int64, "zone_to": np.int64, "n_trips": np.int64}
+        )
+
+    parts = (
+        ev.map_batches(add_zone, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(trips, batch_format="pandas")
+    )
+    try:
+        n_events = ev.count()  # metadata-only on parquet reads
+    except Exception:
+        n_events = None
+    if n_events is not None and n_events <= OD_DRIVER_EVENTS:
+        # small path: the per-bucket pair partials are bounded by the
+        # trip count — one driver fold beats a second Ray shuffle
+        # (same routing as word_topk / keep_first)
+        folded = pd.concat(
+            list(parts.iter_batches(batch_format="pandas")), ignore_index=True
+        )
+        return fold(folded)
+    return parts.groupby("pb").map_groups(fold, batch_format="pandas")
+
+
+_PX96 = "CAST(floor((lon - (-122.6)) * (96.0 / ((-121.6) - (-122.6)))) AS BIGINT)"
+_PY96 = "CAST(floor((lat - 37.2) * (96.0 / (38.2 - 37.2))) AS BIGINT)"
+_EVENT_PTS = (
+    "SELECT event_id, "
+    "-122.6 + ((event_id * 2654435761) % 1000000) / 1000000.0 AS lon, "
+    "37.2 + ((event_id * 104729 + 12345) % 1000000) / 1000000.0 AS lat "
+    "FROM events"
+)
+_RASTER96 = (
+    f"r AS (SELECT {_PX96} AS px, {_PY96} AS py, "
+    "CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY px, py)"
+)
+
+GEO_FOCAL_MEAN_SQL = f"""
+WITH pts AS ({_EVENT_PTS}), {_RASTER96},
+off(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+cand AS (
+  SELECT DISTINCT px + dx AS qx, py + dy AS qy FROM r, off
+  WHERE px + dx BETWEEN 0 AND 95 AND py + dy BETWEEN 0 AND 95
+),
+s AS (
+  SELECT c.qx, c.qy, CAST(sum(r.n) AS BIGINT) AS focal_sum
+  FROM cand c JOIN r ON abs(r.px - c.qx) <= 1 AND abs(r.py - c.qy) <= 1
+  GROUP BY c.qx, c.qy
+)
+SELECT qx AS px, qy AS py, focal_sum,
+       CAST((least(qx + 1, 95) - greatest(qx - 1, 0) + 1)
+          * (least(qy + 1, 95) - greatest(qy - 1, 0) + 1) AS BIGINT) AS n_nbrs,
+       CAST(focal_sum AS DOUBLE)
+         / ((least(qx + 1, 95) - greatest(qx - 1, 0) + 1)
+          * (least(qy + 1, 95) - greatest(qy - 1, 0) + 1)) AS focal_mean
+FROM s
+"""
+
+GEO_GRID_COARSEN_SQL = f"""
+WITH pts AS ({_EVENT_PTS}), {_RASTER96}
+SELECT px // 8 AS cx, py // 8 AS cy, CAST(sum(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_src
+FROM r GROUP BY cx, cy
+"""
+
+OD_MATRIX_SQL = f"""
+WITH pts AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         -122.6 + ((e.event_id * 2654435761) % 1000000) / 1000000.0 AS lon,
+         37.2 + ((e.event_id * 104729 + 12345) % 1000000) / 1000000.0 AS lat
+  FROM events e
+),
+z AS (SELECT event_id, user_id, ts, {_PY96} * 96 + {_PX96} AS zone FROM pts),
+seq AS (
+  SELECT user_id, zone,
+         lag(zone) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_zone
+  FROM z
+)
+SELECT prev_zone AS zone_from, zone AS zone_to,
+       CAST(count(*) AS BIGINT) AS n_trips
+FROM seq WHERE prev_zone IS NOT NULL AND prev_zone <> zone
+GROUP BY zone_from, zone_to
+"""
+
+
 EXT3_QUERIES = {
     "importance_sample": q_importance_sample,
     "dedup_norm_text": q_dedup_norm_text,
     "snapshot_diff": q_snapshot_diff,
     "heavy_hitters": q_heavy_hitters,
+    "geo_focal_mean": q_geo_focal_mean,
+    "geo_grid_coarsen": q_geo_grid_coarsen,
+    "od_matrix": q_od_matrix,
 }
 
 EXT3_ORACLE = {
@@ -328,6 +538,9 @@ EXT3_ORACLE = {
     "dedup_norm_text": DEDUP_NORM_TEXT_SQL,
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
     "heavy_hitters": HEAVY_HITTERS_SQL,
+    "geo_focal_mean": GEO_FOCAL_MEAN_SQL,
+    "geo_grid_coarsen": GEO_GRID_COARSEN_SQL,
+    "od_matrix": OD_MATRIX_SQL,
 }
 
 from fairy_core_ray.pipelines import queries as _q  # noqa: E402

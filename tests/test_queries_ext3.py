@@ -100,6 +100,48 @@ def test_heavy_hitters_candidates_superset_exact_answer(ray_session):
     assert dict(zip(got["w"], got["n"])) == want
 
 
+def test_grid_coarsen_conserves_total(ray_session):
+    got = EXT3_QUERIES["geo_grid_coarsen"](SF)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    import pyarrow.parquet as pq
+
+    n_events = pq.ParquetFile(f"{SF}/events.parquet").metadata.num_rows
+    assert got["n"].sum() == n_events  # pooling loses nothing
+    assert (got["cx"].between(0, 11)).all() and (got["cy"].between(0, 11)).all()
+
+
+def test_focal_mean_window_invariants(ray_session):
+    got = EXT3_QUERIES["geo_focal_mean"](SF)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    interior = got[(got["px"].between(1, 94)) & (got["py"].between(1, 94))]
+    assert (interior["n_nbrs"] == 9).all()
+    corners = got[got["px"].isin([0, 95]) & got["py"].isin([0, 95])]
+    assert (corners["n_nbrs"] == 4).all()
+    assert (got["focal_mean"] == got["focal_sum"] / got["n_nbrs"]).all()
+    # every window sum bounds the center cell's own count
+    from fairy_core_ray.pipelines.queries import _raster
+
+    r = _raster(SF).set_index(["px", "py"])["n"]
+    own = pd.MultiIndex.from_arrays([got["px"], got["py"]])
+    own_n = r.reindex(own).fillna(0).to_numpy()
+    assert (got["focal_sum"].to_numpy() >= own_n).all()
+
+
+def test_od_matrix_trip_bounds(ray_session):
+    got = EXT3_QUERIES["od_matrix"](SF)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id"]).to_pandas()
+    # each user's trips are at most their event count minus one
+    assert got["n_trips"].sum() <= len(ev) - ev["user_id"].nunique()
+    assert (got["zone_from"] != got["zone_to"]).all()
+    assert (got["n_trips"] >= 1).all()
+
+
 def test_snapshot_diff_partition(ray_session):
     """Every emitted key is exactly one of added/removed/changed, and
     the three classes match their key-arithmetic definitions."""
