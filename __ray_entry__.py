@@ -56,6 +56,7 @@ _DRIVER_PRIORITY = [
     "geo_focal_mean",
     "geo_grid_coarsen",
     "od_matrix",
+    "staypoints",
     "mix_sources",
     "hash_split",
     "mix_epochs",

@@ -523,6 +523,133 @@ GROUP BY zone_from, zone_to
 """
 
 
+#: stay-point detection parameters: spatial radius (degrees, squared)
+#: and minimum dwell duration (microseconds)
+STAY_EPS2 = 0.01  # eps = 0.1 deg
+STAY_MIN_DUR_US = 3_600_000_000  # 1 hour
+
+
+def q_staypoints(sf_dir: str):
+    """Stay-point detection (Li et al. 2008, the trajectory-mining
+    primitive behind POI extraction): per user, events ordered by
+    (ts, event_id); from an anchor point, scan forward to the FIRST
+    point farther than eps; if the dwell from anchor to the point
+    before it lasts ≥ min_dur, emit a stay and restart the anchor
+    after the run, else advance the anchor by one. Inherently a
+    sequential anchor chain — each user's chain runs inside a ×256
+    user-hash-bucket ``map_groups`` (whole trajectory co-located, like
+    sessionize/od_matrix), with the first-exit scan vectorized as one
+    per-user pairwise mask (trajectories are bounded per user; the
+    chain loop is O(events-per-user) ints). Output is integer-exact
+    (event ids, epoch-microsecond bounds, run length), so the
+    recursive-CTE SQL oracle — first-exit via min-over-pairs, the
+    anchor chain via recursion — matches bit-for-bit."""
+    from fairy_core_ray.pipelines.queries import _t, event_lonlat
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_pos(t: pa.Table) -> pa.Table:
+        lon, lat = event_lonlat(t["event_id"].to_numpy())
+        return (
+            t.append_column("lon", pa.array(lon, pa.float64()))
+            .append_column("lat", pa.array(lat, pa.float64()))
+            .append_column(
+                "b", pa.array((t["user_id"].to_numpy() % 256).astype(np.int64))
+            )
+        )
+
+    def stays(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out_uid: list[int] = []
+        out_eid: list[int] = []
+        out_t0: list[int] = []
+        out_t1: list[int] = []
+        out_np: list[int] = []
+        for uid, g in df.groupby("user_id", sort=False):
+            lon = g["lon"].to_numpy()
+            lat = g["lat"].to_numpy()
+            tus = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            eid = g["event_id"].to_numpy()
+            n = len(g)
+            dlon = lon[None, :] - lon[:, None]
+            dlat = lat[None, :] - lat[:, None]
+            far = dlon * dlon + dlat * dlat > STAY_EPS2
+            far[np.tril_indices(n)] = False  # only j > i exits count
+            has_exit = far.any(axis=1)
+            first_out = np.where(has_exit, np.argmax(far, axis=1), n)
+            a = 0
+            while a < n:
+                e = int(first_out[a]) - 1
+                if tus[e] - tus[a] >= STAY_MIN_DUR_US:
+                    out_uid.append(int(uid))
+                    out_eid.append(int(eid[a]))
+                    out_t0.append(int(tus[a]))
+                    out_t1.append(int(tus[e]))
+                    out_np.append(e - a + 1)
+                    a = e + 1
+                else:
+                    a += 1
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(out_uid, dtype=np.int64),
+                "start_event_id": pd.Series(out_eid, dtype=np.int64),
+                "ts_start_us": pd.Series(out_t0, dtype=np.int64),
+                "ts_end_us": pd.Series(out_t1, dtype=np.int64),
+                "n_points": pd.Series(out_np, dtype=np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(add_pos, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(stays, batch_format="pandas")
+    )
+
+
+STAYPOINTS_SQL = f"""
+WITH RECURSIVE z AS (
+  SELECT user_id, event_id, ts,
+         -122.6 + ((event_id * 2654435761) % 1000000) / 1000000.0 AS lon,
+         37.2 + ((event_id * 104729 + 12345) % 1000000) / 1000000.0 AS lat,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s
+  FROM events
+),
+cnt AS (SELECT user_id, max(s) AS n FROM z GROUP BY user_id),
+fo_raw AS (
+  SELECT a.user_id, a.s AS i, min(b.s) AS fo
+  FROM z a LEFT JOIN z b ON b.user_id = a.user_id AND b.s > a.s
+    AND (b.lon - a.lon) * (b.lon - a.lon)
+      + (b.lat - a.lat) * (b.lat - a.lat) > CAST({STAY_EPS2} AS DOUBLE)
+  GROUP BY a.user_id, a.s
+),
+fo2 AS (
+  SELECT f.user_id, f.i, coalesce(f.fo, c.n + 1) AS fo
+  FROM fo_raw f JOIN cnt c USING (user_id)
+),
+chain(user_id, a) AS (
+  SELECT user_id, CAST(1 AS BIGINT) FROM cnt
+  UNION ALL
+  SELECT ch.user_id,
+         CASE WHEN epoch_us(te.ts) - epoch_us(ta.ts) >= {STAY_MIN_DUR_US}
+              THEN f.fo ELSE ch.a + 1 END
+  FROM chain ch
+  JOIN cnt c ON c.user_id = ch.user_id
+  JOIN fo2 f ON f.user_id = ch.user_id AND f.i = ch.a
+  JOIN z ta ON ta.user_id = ch.user_id AND ta.s = ch.a
+  JOIN z te ON te.user_id = ch.user_id AND te.s = f.fo - 1
+  WHERE ch.a <= c.n
+)
+SELECT ch.user_id, za.event_id AS start_event_id,
+       epoch_us(za.ts) AS ts_start_us, epoch_us(ze.ts) AS ts_end_us,
+       CAST(f.fo - ch.a AS BIGINT) AS n_points
+FROM chain ch
+JOIN fo2 f ON f.user_id = ch.user_id AND f.i = ch.a
+JOIN z za ON za.user_id = ch.user_id AND za.s = ch.a
+JOIN z ze ON ze.user_id = ch.user_id AND ze.s = f.fo - 1
+WHERE epoch_us(ze.ts) - epoch_us(za.ts) >= {STAY_MIN_DUR_US}
+"""
+
+
 EXT3_QUERIES = {
     "importance_sample": q_importance_sample,
     "dedup_norm_text": q_dedup_norm_text,
@@ -531,6 +658,7 @@ EXT3_QUERIES = {
     "geo_focal_mean": q_geo_focal_mean,
     "geo_grid_coarsen": q_geo_grid_coarsen,
     "od_matrix": q_od_matrix,
+    "staypoints": q_staypoints,
 }
 
 EXT3_ORACLE = {
@@ -541,6 +669,7 @@ EXT3_ORACLE = {
     "geo_focal_mean": GEO_FOCAL_MEAN_SQL,
     "geo_grid_coarsen": GEO_GRID_COARSEN_SQL,
     "od_matrix": OD_MATRIX_SQL,
+    "staypoints": STAYPOINTS_SQL,
 }
 
 from fairy_core_ray.pipelines import queries as _q  # noqa: E402

@@ -142,6 +142,48 @@ def test_od_matrix_trip_bounds(ray_session):
     assert (got["n_trips"] >= 1).all()
 
 
+def test_staypoints_brute_force_replay(ray_session):
+    """Single-process replay of the Li et al. anchor-scan on the raw
+    table equals the distributed result (independent of the SQL
+    oracle)."""
+    got = EXT3_QUERIES["staypoints"](SF).to_pandas()
+    import pyarrow.parquet as pq
+
+    from fairy_core_ray.pipelines.queries import event_lonlat
+
+    ev = (
+        pq.read_table(f"{SF}/events.parquet", columns=["event_id", "user_id", "ts"])
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    )
+    lon, lat = event_lonlat(ev["event_id"].to_numpy())
+    ev = ev.assign(lon=lon, lat=lat)
+    rows = []
+    for uid, g in ev.groupby("user_id", sort=False):
+        L = g["lon"].to_numpy()
+        B = g["lat"].to_numpy()
+        T = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        E = g["event_id"].to_numpy()
+        n, a = len(g), 0
+        while a < n:
+            j = a + 1
+            while j < n and (L[j] - L[a]) ** 2 + (B[j] - B[a]) ** 2 <= qx3.STAY_EPS2:
+                j += 1
+            e = j - 1
+            if T[e] - T[a] >= qx3.STAY_MIN_DUR_US:
+                rows.append((uid, E[a], T[a], T[e], e - a + 1))
+                a = e + 1
+            else:
+                a += 1
+    want = pd.DataFrame(
+        rows,
+        columns=["user_id", "start_event_id", "ts_start_us", "ts_end_us", "n_points"],
+    ).astype(np.int64)
+    got = got.sort_values(["user_id", "ts_start_us"]).reset_index(drop=True)
+    want = want.sort_values(["user_id", "ts_start_us"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_snapshot_diff_partition(ray_session):
     """Every emitted key is exactly one of added/removed/changed, and
     the three classes match their key-arithmetic definitions."""
