@@ -191,6 +191,7 @@ def run_queries(sf_dir: str, full: bool = False) -> tuple[dict, dict]:
     queries (asof_last_order, sessionize, ...) stay visible."""
     from fairy_core_ray.pipelines import queries_ext  # noqa: F401  (merges EXT_* into the registry)
     from fairy_core_ray.pipelines import queries_ext2  # noqa: F401  (merges EXT2_* into the registry)
+    from fairy_core_ray.pipelines import queries_ext3  # noqa: F401  (merges EXT3_* into the registry)
     from fairy_core_ray.pipelines.queries import QUERIES
 
     if full:
@@ -219,6 +220,12 @@ def run_queries(sf_dir: str, full: bool = False) -> tuple[dict, dict]:
             "word_freq_stats",
             "novel_docs",
             "mix_sources",
+            "heavy_hitters",
+            "dedup_norm_text",
+            "snapshot_diff",
+            "od_matrix",
+            "staypoints",
+            "geo_focal_mean",
             "lsh_ann",
             "ivf_ann",
             "pq_ann",
