@@ -57,6 +57,7 @@ _DRIVER_PRIORITY = [
     "geo_grid_coarsen",
     "od_matrix",
     "staypoints",
+    "text_curation_pipeline",
     "mix_sources",
     "hash_split",
     "mix_epochs",

@@ -650,6 +650,122 @@ WHERE epoch_us(ze.ts) - epoch_us(za.ts) >= {STAY_MIN_DUR_US}
 """
 
 
+# ---------------------------------------------------------------------------
+# text_curation_pipeline — the composed text flagship
+# ---------------------------------------------------------------------------
+
+CURATION_QUALITY_MIN = 0.5
+_CURATION_TRAIN_NUM = 9  # keep h * 10 < 9 * HASH_MOD  (90% train gate)
+
+
+def q_text_curation_pipeline(sf_dir: str):
+    """The composed end-to-end TEXT curation flagship (the documents
+    counterpart of the image flagship): quality-score → threshold
+    filter → exact dedup keep-first on md5(text) → deterministic 90%
+    train gate → per-(source, lang) corpus stats. Every stage is a
+    component whose oracle is already green standalone
+    (quality_scores, dedup_exact_md5, hash_split), so the composition
+    is value-checkable as ONE SQL statement.
+
+    Shape: one streaming scoring/filter pass (vectorized quality
+    features), the keep-first dedup aggregate (key-only — text never
+    shuffles), the zero-shuffle hash gate, then per-batch (source,
+    lang) partials into one tiny groupby fold. No driver state beyond
+    the bounded (sources × langs) result."""
+    from fairy_core_ray.pipelines.queries import _round_half_away, _t
+    from fairy_core_ray.stages import text_stages as tstg
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def score_and_filter(df: pd.DataFrame) -> pd.DataFrame:
+        feats = tstg.quality_features(df["text"])
+        q = _round_half_away(tstg.quality_score(feats), 6)
+        keep = q >= CURATION_QUALITY_MIN
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[keep],
+                "k": dd.md5_hex(df["text"]).to_numpy()[keep],
+                "lang": df["lang"].to_numpy()[keep],
+                "source": df["source"].to_numpy()[keep],
+                "n_tokens": feats["n_tokens"].to_numpy()[keep],
+            }
+        )
+        return out
+
+    scored = ds.map_batches(score_and_filter, batch_format="pandas")
+    marked = dd.keep_first(scored, key_fn=lambda t: t["k"], order_col="doc_id")
+
+    def gate_and_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t["dup_first"])
+        h = _gate_hash(t["doc_id"].to_numpy())
+        t = t.filter(pa.array(h * 10 < _CURATION_TRAIN_NUM * HASH_MOD))
+        df = t.select(["source", "lang", "n_tokens"]).to_pandas()
+        g = (
+            df.groupby(["source", "lang"], sort=False)
+            .agg(n_docs=("n_tokens", "size"), total_tokens=("n_tokens", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = marked.map_batches(gate_and_partial, batch_format="pyarrow")
+    folded: dict[tuple[str, str], list[int]] = {}
+    for b in parts.iter_batches(batch_format="pandas"):
+        for s, l, nd, nt in zip(b["source"], b["lang"], b["n_docs"], b["total_tokens"]):
+            cur = folded.setdefault((s, l), [0, 0])
+            cur[0] += int(nd)
+            cur[1] += int(nt)
+    keys = sorted(folded)
+    return pd.DataFrame(
+        {
+            "source": [k[0] for k in keys],
+            "lang": [k[1] for k in keys],
+            "n_docs": pd.Series([folded[k][0] for k in keys], dtype=np.int64),
+            "total_tokens": pd.Series([folded[k][1] for k in keys], dtype=np.int64),
+        }
+    )
+
+
+TEXT_CURATION_SQL = f"""
+WITH f AS (
+  SELECT doc_id, text, lang, source,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE
+           len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) END AS n_tokens,
+         len(coalesce(text, '')) AS n_chars,
+         len(regexp_extract_all(coalesce(text, ''), '[^\\w\\s]')) AS n_punct,
+         regexp_extract_all(lower(coalesce(text, '')), '[A-Za-z0-9_'']+') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, text, lang, source, n_tokens,
+         n_punct / greatest(1, n_chars) AS punct_ratio,
+         CASE WHEN len(words) = 0 THEN 0.0 ELSE
+           list_sum(list_transform(words, w -> len(w))) / len(words) END AS mwl
+  FROM f
+),
+q AS (
+  SELECT doc_id, text, lang, source, n_tokens,
+         round(0.4 * least(greatest(n_tokens / 50.0, 0.0), 1.0)
+             + 0.3 * (1.0 - least(greatest(punct_ratio * 5.0, 0.0), 1.0))
+             + 0.3 * least(greatest((mwl - 1.0) / 5.0, 0.0), 1.0), 6) AS quality
+  FROM g
+),
+kept AS (
+  SELECT doc_id, lang, source, n_tokens
+  FROM q WHERE quality >= {CURATION_QUALITY_MIN}
+  QUALIFY row_number() OVER (PARTITION BY md5(coalesce(text, ''))
+                             ORDER BY doc_id) = 1
+),
+train AS (
+  SELECT * FROM kept
+  WHERE ((CAST(doc_id AS HUGEINT) * {HASH_MULT})
+         % 18446744073709551616 % {HASH_MOD}) * 10 < {_CURATION_TRAIN_NUM} * {HASH_MOD}
+)
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM train GROUP BY source, lang
+"""
+
+
 EXT3_QUERIES = {
     "importance_sample": q_importance_sample,
     "dedup_norm_text": q_dedup_norm_text,
@@ -659,6 +775,7 @@ EXT3_QUERIES = {
     "geo_grid_coarsen": q_geo_grid_coarsen,
     "od_matrix": q_od_matrix,
     "staypoints": q_staypoints,
+    "text_curation_pipeline": q_text_curation_pipeline,
 }
 
 EXT3_ORACLE = {
@@ -670,6 +787,7 @@ EXT3_ORACLE = {
     "geo_grid_coarsen": GEO_GRID_COARSEN_SQL,
     "od_matrix": OD_MATRIX_SQL,
     "staypoints": STAYPOINTS_SQL,
+    "text_curation_pipeline": TEXT_CURATION_SQL,
 }
 
 from fairy_core_ray.pipelines import queries as _q  # noqa: E402

@@ -184,6 +184,24 @@ def test_staypoints_brute_force_replay(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_text_curation_composition_bounds(ray_session):
+    """The composed pipeline's totals are bounded by its strictest
+    stage: kept docs ≤ quality survivors, and the dedup ran BEFORE the
+    gate (no (source, lang) cell exceeds its distinct-text count)."""
+    got = EXT3_QUERIES["text_curation_pipeline"](SF)
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    per_cell = con.sql(
+        "SELECT source, lang, count(DISTINCT md5(coalesce(text,''))) AS nd "
+        "FROM documents GROUP BY source, lang"
+    ).df()
+    m = got.merge(per_cell, on=["source", "lang"], how="left")
+    assert (m["n_docs"] <= m["nd"]).all()
+    assert (got["n_docs"] >= 1).all() and (got["total_tokens"] >= got["n_docs"]).all()
+
+
 def test_snapshot_diff_partition(ray_session):
     """Every emitted key is exactly one of added/removed/changed, and
     the three classes match their key-arithmetic definitions."""
