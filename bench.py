@@ -57,12 +57,17 @@ def headline(sf_dir: str, ncpus: int) -> dict:
     import ray
 
     if not ray.is_initialized():
+        from fairy_core_ray import worker_runtime_env
+
         ray.init(
             address="local",
             num_cpus=ncpus,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # silence the per-schema "Failed to hash the schemas" WARNING
+            # in read/reduce workers too (VERDICT r4 #6)
+            runtime_env=worker_runtime_env(),
             # the fused pipeline keeps payloads out of the object store;
             # a small store leaves /dev/shm to the corpus + page cache
             object_store_memory=8 << 30,

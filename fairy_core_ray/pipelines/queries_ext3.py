@@ -705,7 +705,7 @@ def q_text_curation_pipeline(sf_dir: str):
             .agg(n_docs=("n_tokens", "size"), total_tokens=("n_tokens", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     parts = marked.map_batches(gate_and_partial, batch_format="pyarrow")
     folded: dict[tuple[str, str], list[int]] = {}

@@ -175,7 +175,7 @@ def write_tiled(
         g = g.drop(columns=["shard"]).sort_values("image_id").reset_index(drop=True)
         fname = os.path.join(out_root, f"{shard}.parquet")
         tmp = fname + ".tmp"
-        tbl = pa.Table.from_pandas(g, preserve_index=False)
+        tbl = pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
         pq.write_table(tbl, tmp)
         os.replace(tmp, fname)
         digest = sha256_file(fname)

@@ -110,7 +110,10 @@ def write_partitioned_resumable(
         g = g.reset_index(drop=True)
         fname = os.path.join(out_root, f"part-{_safe_key(key)}.parquet")
         tmp = fname + ".tmp"
-        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        pq.write_table(
+            pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None),
+            tmp,
+        )
         os.replace(tmp, fname)
         return pd.DataFrame(
             {

@@ -37,6 +37,10 @@ def _attach_rows(table: pa.Table, offset: int) -> pa.Table:
     import numpy as np
 
     rows = np.arange(offset, offset + len(table), dtype=np.int64)
+    # drop file-level pandas metadata: dict-valued schema metadata makes
+    # pa.Schema unhashable, tripping a WARNING in every downstream Ray
+    # Data schema unification (zero-copy strip)
+    table = table.replace_schema_metadata(None)
     return table.append_column(ROW_COL, pa.array(rows, pa.int64()))
 
 

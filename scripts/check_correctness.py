@@ -48,8 +48,10 @@ def main():
     import ray
 
     if not ray.is_initialized():
+        from fairy_core_ray import worker_runtime_env
+
         ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR", runtime_env=worker_runtime_env())
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

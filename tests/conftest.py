@@ -8,12 +8,15 @@ def ray_session():
     import ray
 
     if not ray.is_initialized():
+        from fairy_core_ray import worker_runtime_env
+
         ray.init(
             address="local",
             num_cpus=4,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            runtime_env=worker_runtime_env(),
         )
     from ray.data import DataContext
 
