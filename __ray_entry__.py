@@ -43,6 +43,8 @@ def entry() -> Any:
 # round-5 snapshot verifies the round-3/4 additions — value-hash-oracled
 # entries lead, rows-only ANN/semdedup close the block (judge r4 #1).
 _DRIVER_PRIORITY = [
+    "road_snap",
+    "bpe_top_merges",
     "flagship_tile_stats",
     "ngram_pairs",
     "minhash_pairs",
@@ -115,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from fairy_core_ray.pipelines import queries_ext  # noqa: F401  (merges EXT_* into the registry)
     from fairy_core_ray.pipelines import queries_ext2  # noqa: F401  (merges EXT2_* into the registry)
     from fairy_core_ray.pipelines import queries_ext3  # noqa: F401  (merges EXT3_* into the registry)
+    from fairy_core_ray.pipelines import queries_ext4  # noqa: F401  (merges EXT4_* into the registry)
     from fairy_core_ray.pipelines.queries import QUERIES
 
     ordered = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
@@ -130,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
     from fairy_core_ray.pipelines import queries_ext  # noqa: F401  (merges EXT_* into the registry)
     from fairy_core_ray.pipelines import queries_ext2  # noqa: F401  (merges EXT2_* into the registry)
     from fairy_core_ray.pipelines import queries_ext3  # noqa: F401  (merges EXT3_* into the registry)
+    from fairy_core_ray.pipelines import queries_ext4  # noqa: F401  (merges EXT4_* into the registry)
     from fairy_core_ray.pipelines.queries import ORACLE
 
     return dict(ORACLE)

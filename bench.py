@@ -197,6 +197,7 @@ def run_queries(sf_dir: str, full: bool = False) -> tuple[dict, dict]:
     from fairy_core_ray.pipelines import queries_ext  # noqa: F401  (merges EXT_* into the registry)
     from fairy_core_ray.pipelines import queries_ext2  # noqa: F401  (merges EXT2_* into the registry)
     from fairy_core_ray.pipelines import queries_ext3  # noqa: F401  (merges EXT3_* into the registry)
+    from fairy_core_ray.pipelines import queries_ext4  # noqa: F401  (merges EXT4_* into the registry)
     from fairy_core_ray.pipelines.queries import QUERIES
 
     if full:
@@ -231,6 +232,8 @@ def run_queries(sf_dir: str, full: bool = False) -> tuple[dict, dict]:
             "od_matrix",
             "staypoints",
             "geo_focal_mean",
+            "road_snap",
+            "bpe_top_merges",
             "lsh_ann",
             "ivf_ann",
             "pq_ann",

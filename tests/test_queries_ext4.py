@@ -1,0 +1,94 @@
+"""Extension batch 4 (round 5): Ray result == DuckDB oracle on sf0.001,
+plus operator-level invariants (snap distance optimality vs brute
+force, pair-count conservation vs token counts)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from fairy_core_ray.pipelines.queries_ext4 import (
+    EXT4_ORACLE,
+    EXT4_QUERIES,
+    N_ROADS,
+    _roads,
+)
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["events", "orders", "lineitem", "documents", "embeddings"]
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(EXT4_ORACLE))
+def test_matches_oracle(ray_session, name):
+    got = EXT4_QUERIES[name](SF)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = _oracle(EXT4_ORACLE[name])
+    got, want = _norm(got), _norm(want)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        assert (g.astype(str) == w.astype(str)).all(), c
+
+
+def test_road_snap_is_true_nearest(ray_session):
+    """Brute-force check: for a sample of events, the reported segment
+    achieves the minimum point-to-segment distance² over ALL segments,
+    and t_off is the clamped projection onto that segment."""
+    got = EXT4_QUERIES["road_snap"](SF).to_pandas().set_index("event_id")
+    r = _roads()
+    for eid in list(got.index[:50]) + list(got.index[-50:]):
+        px = (eid * 2654435761) % 1_000_000
+        py = (eid * 104729 + 12345) % 1_000_000
+        best = None
+        for k in range(N_ROADS):
+            dx, dy = px - r["x0"][k], py - r["y0"][k]
+            along, perp = (dx, dy) if r["orient"][k] == 0 else (dy, dx)
+            t = min(max(along, 0), r["length"][k])
+            d2 = (along - t) ** 2 + perp**2
+            if best is None or (d2, k) < best:
+                best = (int(d2), int(k), int(t))
+        row = got.loc[eid]
+        assert (row["dist2"], row["road_id"], row["t_off"]) == best
+
+
+def test_bpe_pair_total_matches_token_counts(ray_session):
+    """Conservation: sum of ALL pair counts (not just top-20) equals
+    Σ_docs max(0, n_tokens − 1) — every adjacency counted exactly once,
+    none across document boundaries."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    expected = sum(
+        max(0, len([w for w in t.split(" ") if w]) - 1) for t in docs["text"]
+    )
+    full = _oracle(
+        """
+        WITH lists AS (
+          SELECT list_filter(string_split(coalesce(text, ''), ' '),
+                             x -> x <> '') AS l
+          FROM documents
+        ),
+        z AS (SELECT unnest(list_zip(l, l[2:])) AS p FROM lists WHERE len(l) >= 2)
+        SELECT count(*) AS n FROM z WHERE p[2] IS NOT NULL
+        """
+    )
+    assert int(full["n"][0]) == expected
+    top = EXT4_QUERIES["bpe_top_merges"](SF).to_pandas()
+    assert len(top) == 20
+    assert (top["n"].to_numpy()[:-1] >= top["n"].to_numpy()[1:]).all()
