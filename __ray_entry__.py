@@ -45,6 +45,8 @@ def entry() -> Any:
 _DRIVER_PRIORITY = [
     "road_snap",
     "bpe_top_merges",
+    "geo_grid_upsample",
+    "char_chi2",
     "flagship_tile_stats",
     "ngram_pairs",
     "minhash_pairs",

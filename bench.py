@@ -234,6 +234,8 @@ def run_queries(sf_dir: str, full: bool = False) -> tuple[dict, dict]:
             "geo_focal_mean",
             "road_snap",
             "bpe_top_merges",
+            "geo_grid_upsample",
+            "char_chi2",
             "lsh_ann",
             "ivf_ann",
             "pq_ann",

@@ -236,14 +236,155 @@ ORDER BY n DESC, tok_a, tok_b LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# geo_grid_upsample — integer-exact 2× bilinear pyramid level (inverse of
+# geo_grid_coarsen)
+# ---------------------------------------------------------------------------
+
+
+def q_geo_grid_upsample(sf_dir: str):
+    """2× bilinear upsampling of the 96×96 event raster — the pyramid
+    step DOWN in cell size (geo_grid_coarsen is the step up): each
+    192-grid target cell blends its 1-or-2 source columns × 1-or-2
+    source rows (even target → the one aligned source at weight 2, odd
+    target → both straddling sources at weight 1, clamped at the grid
+    edge). Emitting ``v4`` = 4× the bilinear value keeps every weight
+    integral, so the oracle is bit-exact — no float interpolation.
+
+    Consumes the distributedly-folded sparse raster like
+    geo_focal_mean (grid-bounded, O(grid) driver dense step,
+    corpus-independent); above RASTER_DRIVER_PIXELS the identical
+    op is the contribution flat-map (each source pixel emits its ≤9
+    weighted targets) + groupby(pixel) sum the raster fold already
+    routes to."""
+    from fairy_core_ray.pipelines.queries import RASTER_H, RASTER_W, _raster
+
+    r = _raster(sf_dir)
+    grid = np.zeros((RASTER_H, RASTER_W), np.int64)
+    grid[r["py"].to_numpy(np.int64), r["px"].to_numpy(np.int64)] = r["n"].to_numpy(
+        np.int64
+    )
+    col_r = np.r_[1:RASTER_W, RASTER_W - 1]  # right neighbor, edge-clamped
+    ux = np.zeros((RASTER_H, 2 * RASTER_W), np.int64)
+    ux[:, 0::2] = 2 * grid
+    ux[:, 1::2] = grid + grid[:, col_r]
+    row_d = np.r_[1:RASTER_H, RASTER_H - 1]
+    up = np.zeros((2 * RASTER_H, 2 * RASTER_W), np.int64)
+    up[0::2, :] = 2 * ux
+    up[1::2, :] = ux + ux[row_d, :]
+    qy, qx = np.nonzero(up)
+    return pd.DataFrame(
+        {
+            "px": qx.astype(np.int64),
+            "py": qy.astype(np.int64),
+            "v4": up[qy, qx],
+        }
+    )
+
+
+def _upsample_contrib_sql(axis: str, size: int) -> str:
+    """1-or-2 source coordinates + integer weights per target coord."""
+    q = f"q{axis}"
+    return f"""(
+  SELECT {q}, {q} // 2 AS s{axis},
+         CASE WHEN {q} % 2 = 0 THEN 2 ELSE 1 END AS w{axis}
+  FROM range({2 * size}) t({q})
+  UNION ALL
+  SELECT {q}, least({q} // 2 + 1, {size - 1}) AS s{axis}, 1 AS w{axis}
+  FROM range({2 * size}) t({q}) WHERE {q} % 2 = 1
+)"""
+
+
+def _geo_grid_upsample_sql() -> str:
+    from fairy_core_ray.pipelines.queries import RASTER_H, RASTER_W
+    from fairy_core_ray.pipelines.queries_ext3 import _EVENT_PTS, _RASTER96
+
+    return f"""
+WITH pts AS ({_EVENT_PTS}), {_RASTER96},
+cx AS {_upsample_contrib_sql("x", RASTER_W)},
+cy AS {_upsample_contrib_sql("y", RASTER_H)}
+SELECT CAST(cx.qx AS BIGINT) AS px, CAST(cy.qy AS BIGINT) AS py,
+       CAST(sum(cx.wx * cy.wy * r.n) AS BIGINT) AS v4
+FROM r JOIN cx ON cx.sx = r.px JOIN cy ON cy.sy = r.py
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# char_chi2 — character-distribution uniformity score (gibberish signal)
+# ---------------------------------------------------------------------------
+
+
+def q_char_chi2(sf_dir: str):
+    """Per-document character-distribution χ² numerator — the
+    gibberish/quality signal comparing each doc's byte histogram to
+    uniform over its own distinct bytes: with counts c_i, k distinct
+    bytes and n total, ``chi2_num = Σ_i (c_i·k − n)²`` (χ² × k·n up to
+    the integer scale — order-preserving, and integer-exact so the
+    oracle hash-matches; a float χ² would risk summation-order ULPs).
+    Byte-level over UTF-8 (equals char-level on this ASCII corpus,
+    which is what the SQL oracle computes via char split).
+
+    One streaming ``map_batches``: per-batch (docs×256) bincount via a
+    single np.add.at on doc_idx·256+byte — no per-doc Python loop, no
+    shuffle (per-doc independent)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"], split=8)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("").astype(str)
+        eid = df["doc_id"].to_numpy(np.int64)
+        blens = s.str.encode("utf-8").str.len().to_numpy(np.int64)
+        joined = "".join(s.tolist()).encode("utf-8")
+        b = np.frombuffer(joined, dtype=np.uint8).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(s), dtype=np.int64), blens)
+        counts = np.bincount(
+            doc_idx * 256 + b, minlength=len(s) * 256
+        ).reshape(len(s), 256)
+        k = (counts > 0).sum(axis=1).astype(np.int64)
+        chi2 = (
+            ((counts * k[:, None] - blens[:, None]) ** 2) * (counts > 0)
+        ).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "doc_id": eid,
+                "chi2_num": chi2.astype(np.int64),
+                "k_distinct": k,
+                "n_bytes": blens,
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+CHAR_CHI2_SQL = """
+WITH c AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS ch
+  FROM documents
+),
+cnt AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY doc_id, ch),
+s AS (SELECT doc_id, count(*) AS k, sum(c) AS n FROM cnt GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(sum((c * k - n) * (c * k - n)), 0) AS BIGINT) AS chi2_num,
+       CAST(COALESCE(any_value(k), 0) AS BIGINT) AS k_distinct,
+       CAST(COALESCE(any_value(n), 0) AS BIGINT) AS n_bytes
+FROM documents d
+LEFT JOIN cnt USING (doc_id) LEFT JOIN s USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
 EXT4_QUERIES = {
     "road_snap": q_road_snap,
     "bpe_top_merges": q_bpe_top_merges,
+    "geo_grid_upsample": q_geo_grid_upsample,
+    "char_chi2": q_char_chi2,
 }
 
 EXT4_ORACLE = {
     "road_snap": ROAD_SNAP_SQL,
     "bpe_top_merges": BPE_TOP_MERGES_SQL,
+    "geo_grid_upsample": _geo_grid_upsample_sql(),
+    "char_chi2": CHAR_CHI2_SQL,
 }
 
 from fairy_core_ray.pipelines import queries as _q  # noqa: E402

@@ -67,6 +67,38 @@ def test_road_snap_is_true_nearest(ray_session):
         assert (row["dist2"], row["road_id"], row["t_off"]) == best
 
 
+def test_upsample_aligned_cells_are_4x_source(ray_session):
+    """Every even/even target cell is exactly 4× its aligned source
+    pixel, and there are exactly as many of them as source pixels."""
+    from fairy_core_ray.pipelines.queries import _raster
+
+    up = EXT4_QUERIES["geo_grid_upsample"](SF)
+    src = _raster(SF)
+    aligned = up[(up["px"] % 2 == 0) & (up["py"] % 2 == 0)].copy()
+    aligned["sx"], aligned["sy"] = aligned["px"] // 2, aligned["py"] // 2
+    m = aligned.merge(src, left_on=["sx", "sy"], right_on=["px", "py"])
+    assert len(m) == len(src) == len(aligned)
+    assert (m["v4"] == 4 * m["n"]).all()
+
+
+def test_char_chi2_matches_counter_bruteforce(ray_session):
+    """First 50 docs vs a plain collections.Counter replay."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    got = EXT4_QUERIES["char_chi2"](SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    for doc_id, text in zip(
+        docs["doc_id"].to_pylist()[:50], docs["text"].to_pylist()[:50]
+    ):
+        c = Counter(text.encode("utf-8"))
+        k, n = len(c), sum(c.values())
+        chi2 = sum((v * k - n) ** 2 for v in c.values())
+        row = got.loc[doc_id]
+        assert (row["chi2_num"], row["k_distinct"], row["n_bytes"]) == (chi2, k, n)
+
+
 def test_bpe_pair_total_matches_token_counts(ray_session):
     """Conservation: sum of ALL pair counts (not just top-20) equals
     Σ_docs max(0, n_tokens − 1) — every adjacency counted exactly once,
