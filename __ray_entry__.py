@@ -47,6 +47,7 @@ _DRIVER_PRIORITY = [
     "bpe_top_merges",
     "geo_grid_upsample",
     "char_chi2",
+    "traj_simplify",
     "flagship_tile_stats",
     "ngram_pairs",
     "minhash_pairs",

@@ -236,6 +236,7 @@ def run_queries(sf_dir: str, full: bool = False) -> tuple[dict, dict]:
             "bpe_top_merges",
             "geo_grid_upsample",
             "char_chi2",
+            "traj_simplify",
             "lsh_ann",
             "ivf_ann",
             "pq_ann",

@@ -373,11 +373,177 @@ GROUP BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# traj_simplify — Douglas–Peucker trajectory simplification
+# ---------------------------------------------------------------------------
+
+#: DP tolerance in centi-units (plane is [0, 10000)² after //100). The
+#: coordinate downscale keeps every comparison in int64: cross² < 4e16,
+#: eps²·|AB|² < 1.8e15 — exact integer DP, no float perpendicular
+#: distance, so the oracle matches bit-for-bit.
+TRAJ_EPS = 3000
+_TRAJ_EPS2 = TRAJ_EPS * TRAJ_EPS
+
+
+def _dp_keep(px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Integer-exact Douglas–Peucker keep mask. Deviation of interior
+    point M from chord AB compares cross(AB, AM)² > eps²·|AB|²
+    (degenerate A==B chord falls back to point distance); the split
+    point is the FIRST index attaining the max (np.argmax), matching
+    the SQL ORDER BY num DESC, s."""
+    n = len(px)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        dx, dy = px[hi] - px[lo], py[hi] - py[lo]
+        seg2 = dx * dx + dy * dy
+        mx = px[lo + 1 : hi] - px[lo]
+        my = py[lo + 1 : hi] - py[lo]
+        if seg2 == 0:
+            num = mx * mx + my * my
+            thr = _TRAJ_EPS2
+        else:
+            cr = mx * dy - my * dx
+            num = cr * cr
+            thr = _TRAJ_EPS2 * seg2
+        j = int(np.argmax(num))
+        if num[j] > thr:
+            m = lo + 1 + j
+            keep[m] = True
+            stack.append((lo, m))
+            stack.append((m, hi))
+    return keep
+
+
+def q_traj_simplify(sf_dir: str):
+    """Douglas–Peucker per-user trajectory simplification — the
+    polyline generalization primitive (map rendering, GPS compaction).
+    Points are the event footprints in integer centi-units, ordered by
+    (ts, event_id) per user; output the kept points (user_id, event_id,
+    s = 1-based position in the trajectory).
+
+    Shape: ×256 user-hash-bucket ``map_groups`` (whole trajectory
+    co-located, like staypoints/od_matrix); per-user DP is a stack
+    scan with the per-interval deviation vectorized. The oracle
+    reproduces the recursion as a recursive CTE over intervals with a
+    precomputed per-(lo,hi) argmax table."""
+    from fairy_core_ray.pipelines.queries import _t
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_pos(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        return (
+            t.append_column(
+                "x", pa.array(((eid * 2654435761) % 1_000_000) // 100, pa.int64())
+            )
+            .append_column(
+                "y", pa.array(((eid * 104729 + 12345) % 1_000_000) // 100, pa.int64())
+            )
+            .append_column(
+                "b", pa.array((t["user_id"].to_numpy() % 256).astype(np.int64))
+            )
+        )
+
+    def simplify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out_uid: list[int] = []
+        out_eid: list[int] = []
+        out_s: list[int] = []
+        for uid, g in df.groupby("user_id", sort=False):
+            px = g["x"].to_numpy()
+            py = g["y"].to_numpy()
+            eid = g["event_id"].to_numpy()
+            keep = (
+                np.ones(1, dtype=bool) if len(g) == 1 else _dp_keep(px, py)
+            )
+            (idx,) = np.nonzero(keep)
+            out_uid.extend([int(uid)] * len(idx))
+            out_eid.extend(int(e) for e in eid[idx])
+            out_s.extend(int(i) + 1 for i in idx)
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(out_uid, dtype=np.int64),
+                "event_id": pd.Series(out_eid, dtype=np.int64),
+                "s": pd.Series(out_s, dtype=np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(add_pos, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(simplify, batch_format="pandas")
+    )
+
+
+TRAJ_SIMPLIFY_SQL = f"""
+WITH RECURSIVE z AS (
+  SELECT user_id, event_id,
+         ((event_id * 2654435761) % 1000000) // 100 AS x,
+         ((event_id * 104729 + 12345) % 1000000) // 100 AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s
+  FROM events
+),
+cnt AS (SELECT user_id, max(s) AS n FROM z GROUP BY user_id),
+cand AS (
+  SELECT a.user_id, a.s AS lo, b.s AS hi, m.s AS ms,
+         CASE WHEN (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) = 0
+              THEN (m.x - a.x) * (m.x - a.x) + (m.y - a.y) * (m.y - a.y)
+              ELSE ((m.x - a.x) * (b.y - a.y) - (m.y - a.y) * (b.x - a.x))
+                 * ((m.x - a.x) * (b.y - a.y) - (m.y - a.y) * (b.x - a.x))
+         END AS num,
+         CASE WHEN (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) = 0
+              THEN {_TRAJ_EPS2}
+              ELSE {_TRAJ_EPS2}
+                 * ((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y))
+         END AS thr
+  FROM z a
+  JOIN z b ON b.user_id = a.user_id AND b.s > a.s + 1
+  JOIN z m ON m.user_id = a.user_id AND m.s > a.s AND m.s < b.s
+),
+best AS (
+  SELECT user_id, lo, hi, ms, num, thr FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, lo, hi
+                                 ORDER BY num DESC, ms) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+iv(user_id, lo, hi) AS (
+  SELECT user_id, CAST(1 AS BIGINT), CAST(n AS BIGINT) FROM cnt WHERE n >= 2
+  UNION ALL
+  SELECT iv.user_id,
+         CASE WHEN side.d = 0 THEN iv.lo ELSE b.ms END,
+         CASE WHEN side.d = 0 THEN b.ms ELSE iv.hi END
+  FROM iv
+  JOIN best b ON b.user_id = iv.user_id AND b.lo = iv.lo AND b.hi = iv.hi
+  CROSS JOIN (VALUES (0), (1)) side(d)
+  WHERE b.num > b.thr
+),
+kept AS (
+  SELECT user_id, CAST(1 AS BIGINT) AS s FROM cnt
+  UNION
+  SELECT user_id, CAST(n AS BIGINT) FROM cnt
+  UNION
+  SELECT iv.user_id, b.ms AS s
+  FROM iv JOIN best b ON b.user_id = iv.user_id
+                     AND b.lo = iv.lo AND b.hi = iv.hi
+  WHERE b.num > b.thr
+)
+SELECT k.user_id, z.event_id, CAST(k.s AS BIGINT) AS s
+FROM kept k JOIN z ON z.user_id = k.user_id AND z.s = k.s
+"""
+
+
 EXT4_QUERIES = {
     "road_snap": q_road_snap,
     "bpe_top_merges": q_bpe_top_merges,
     "geo_grid_upsample": q_geo_grid_upsample,
     "char_chi2": q_char_chi2,
+    "traj_simplify": q_traj_simplify,
 }
 
 EXT4_ORACLE = {
@@ -385,6 +551,7 @@ EXT4_ORACLE = {
     "bpe_top_merges": BPE_TOP_MERGES_SQL,
     "geo_grid_upsample": _geo_grid_upsample_sql(),
     "char_chi2": CHAR_CHI2_SQL,
+    "traj_simplify": TRAJ_SIMPLIFY_SQL,
 }
 
 from fairy_core_ray.pipelines import queries as _q  # noqa: E402

@@ -99,6 +99,60 @@ def test_char_chi2_matches_counter_bruteforce(ray_session):
         assert (row["chi2_num"], row["k_distinct"], row["n_bytes"]) == (chi2, k, n)
 
 
+def test_traj_simplify_matches_recursive_replay(ray_session):
+    """Independent plain-Python recursive DP (arbitrary-precision ints,
+    no numpy, no stack trick) over every user's trajectory must produce
+    the identical kept set."""
+    import pyarrow.parquet as pq
+
+    from fairy_core_ray.pipelines.queries_ext4 import _TRAJ_EPS2
+
+    got = (
+        EXT4_QUERIES["traj_simplify"](SF)
+        .to_pandas()
+        .sort_values(["user_id", "s"])
+        .reset_index(drop=True)
+    )
+    ev = (
+        pq.read_table(f"{SF}/events.parquet", columns=["event_id", "user_id", "ts"])
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    )
+    rows = []
+    for uid, g in ev.groupby("user_id", sort=False):
+        eids = [int(e) for e in g["event_id"]]
+        xs = [((e * 2654435761) % 1_000_000) // 100 for e in eids]
+        ys = [((e * 104729 + 12345) % 1_000_000) // 100 for e in eids]
+        keep = {0, len(eids) - 1}
+
+        def rec(lo, hi):
+            if hi - lo < 2:
+                return
+            dx, dy = xs[hi] - xs[lo], ys[hi] - ys[lo]
+            seg2 = dx * dx + dy * dy
+            best_num, best_m = -1, None
+            for m in range(lo + 1, hi):
+                mx, my = xs[m] - xs[lo], ys[m] - ys[lo]
+                num = (
+                    mx * mx + my * my
+                    if seg2 == 0
+                    else (mx * dy - my * dx) ** 2
+                )
+                if num > best_num:
+                    best_num, best_m = num, m
+            thr = _TRAJ_EPS2 if seg2 == 0 else _TRAJ_EPS2 * seg2
+            if best_num > thr:
+                keep.add(best_m)
+                rec(lo, best_m)
+                rec(best_m, hi)
+
+        rec(0, len(eids) - 1)
+        rows += [(int(uid), eids[i], i + 1) for i in sorted(keep)]
+    want = pd.DataFrame(rows, columns=["user_id", "event_id", "s"])
+    want = want.sort_values(["user_id", "s"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+
+
 def test_bpe_pair_total_matches_token_counts(ray_session):
     """Conservation: sum of ALL pair counts (not just top-20) equals
     Σ_docs max(0, n_tokens − 1) — every adjacency counted exactly once,
