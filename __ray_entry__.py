@@ -48,6 +48,7 @@ _DRIVER_PRIORITY = [
     "geo_grid_upsample",
     "char_chi2",
     "traj_simplify",
+    "cohort_retention",
     "flagship_tile_stats",
     "ngram_pairs",
     "minhash_pairs",

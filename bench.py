@@ -237,6 +237,7 @@ def run_queries(sf_dir: str, full: bool = False) -> tuple[dict, dict]:
             "geo_grid_upsample",
             "char_chi2",
             "traj_simplify",
+            "cohort_retention",
             "lsh_ann",
             "ivf_ann",
             "pq_ann",

@@ -538,12 +538,81 @@ FROM kept k JOIN z ON z.user_id = k.user_id AND z.s = k.s
 """
 
 
+# ---------------------------------------------------------------------------
+# cohort_retention — first-seen cohort × active-day user counts
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by their first-seen day
+    (the cohort), counted on every day they are active — the standard
+    longitudinal engagement fold. Days are integer epoch days (exact;
+    no date-string formatting hazard).
+
+    Shape: per-batch (user, day) dedup partials → ×256 user-hash
+    buckets so each user's day set is co-located → per-bucket
+    vectorized cohort transform (min day per user) + local
+    (cohort, day) partial counts → one small global sum-groupby over
+    (cohort, day) pairs (bounded by days², corpus-independent). The
+    per-user state never leaves its bucket; no broadcast, no driver
+    fold."""
+    import ray.data as rd
+
+    from fairy_core_ray.pipelines.queries import _t
+
+    ev = _t(sf_dir, "events", ["user_id", "ts"], split=8)
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        us = t["user_id"].to_numpy().astype(np.int64)
+        day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({"user_id": us, "day": day}).drop_duplicates()
+        df["b"] = df["user_id"] % 256
+        return df
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["user_id", "day"])
+        cohort = g.groupby("user_id")["day"].transform("min")
+        out = (
+            pd.DataFrame({"cohort_day": cohort.to_numpy(), "day": g["day"].to_numpy()})
+            .groupby(["cohort_day", "day"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return out.astype(
+            {"cohort_day": np.int64, "day": np.int64, "n_users": np.int64}
+        )
+
+    return (
+        ev.map_batches(pairs, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["cohort_day", "day"])
+        .aggregate(rd.aggregate.Sum("n_users", alias_name="n_users"))
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+),
+fs AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+SELECT CAST(f.cohort_day AS BIGINT) AS cohort_day,
+       CAST(u.day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud u JOIN fs f USING (user_id)
+GROUP BY f.cohort_day, u.day
+"""
+
+
 EXT4_QUERIES = {
     "road_snap": q_road_snap,
     "bpe_top_merges": q_bpe_top_merges,
     "geo_grid_upsample": q_geo_grid_upsample,
     "char_chi2": q_char_chi2,
     "traj_simplify": q_traj_simplify,
+    "cohort_retention": q_cohort_retention,
 }
 
 EXT4_ORACLE = {
@@ -552,6 +621,7 @@ EXT4_ORACLE = {
     "geo_grid_upsample": _geo_grid_upsample_sql(),
     "char_chi2": CHAR_CHI2_SQL,
     "traj_simplify": TRAJ_SIMPLIFY_SQL,
+    "cohort_retention": COHORT_RETENTION_SQL,
 }
 
 from fairy_core_ray.pipelines import queries as _q  # noqa: E402
