@@ -935,18 +935,39 @@ def q_window_top_users(sf_dir: str):
         )
         return g.reset_index()
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["n_events", "user_id"], ascending=[False, True], kind="mergesort"
+    def add_wbucket(df: pd.DataFrame) -> pd.DataFrame:
+        # ×64 window-hash buckets on the SINGLE int window key: a
+        # window's (win, user) partials all land in its bucket, so one
+        # bucket fold completes the counts AND the per-window top-k —
+        # one single-key shuffle total. (A native composite-key
+        # groupby(["win_start","user_id"]).aggregate here measured 38 s
+        # on 95k partial rows at sf0.1/32cpus — Ray's multi-key
+        # sort-aggregate is the wrong tool for a bounded key space; the
+        # repo's bucketed map_groups fold is ~20× faster.)
+        df["wb"] = (df["win_start"] // _WIN_S) % 64
+        return df
+
+    def fold_topk(g: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            g.groupby(["win_start", "user_id"], sort=False)["p_n"]
+            .sum()
+            .rename("n_events")
+            .reset_index()
         )
-        return g.head(_WIN_TOPK)
+        c = c.sort_values(
+            ["win_start", "n_events", "user_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return c.groupby("win_start", sort=False).head(_WIN_TOPK)[
+            ["win_start", "user_id", "n_events"]
+        ]
 
     out = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby(["win_start", "user_id"])
-        .aggregate(rd.aggregate.Sum("p_n", alias_name="n_events"))
-        .groupby("win_start")
-        .map_groups(topk, batch_format="pandas")
+        .map_batches(add_wbucket, batch_format="pandas")
+        .groupby("wb")
+        .map_groups(fold_topk, batch_format="pandas")
         .to_pandas()
     )
     out["win_start"] = out["win_start"].astype(np.int64)
