@@ -49,6 +49,7 @@ _DRIVER_PRIORITY = [
     "char_chi2",
     "traj_simplify",
     "cohort_retention",
+    "caption_stats",
     "flagship_tile_stats",
     "ngram_pairs",
     "minhash_pairs",

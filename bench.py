@@ -238,6 +238,7 @@ def run_queries(sf_dir: str, full: bool = False) -> tuple[dict, dict]:
             "char_chi2",
             "traj_simplify",
             "cohort_retention",
+            "caption_stats",
             "lsh_ann",
             "ivf_ann",
             "pq_ann",

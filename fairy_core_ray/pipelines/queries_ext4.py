@@ -606,6 +606,103 @@ GROUP BY f.cohort_day, u.day
 """
 
 
+# ---------------------------------------------------------------------------
+# caption_stats — caption audit over the image+caption corpus
+# ---------------------------------------------------------------------------
+
+
+def q_caption_stats(sf_dir: str):
+    """Caption audit over the materialized image+caption table (the
+    BASELINE.json input shape): per first caption token — '' collects
+    the blank/whitespace violation bands — the caption count and total
+    caption bytes. A column-pruned read (caption only; payload bytes
+    never leave storage) + per-batch vectorized partials + a
+    vocab-bounded driver fold (21 keys — same posture as word_topk).
+
+    Oracle: the caption generator (sources/synth.py:caption_for) is
+    pure integer arithmetic over the row index — three word lookups,
+    ' scene ' + decimal digits, band overrides — so the SQL re-derives
+    every group and byte count from a range series without reading the
+    corpus, pinning the materialized table itself."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from fairy_core_ray.functions.folds import fold_to_pandas
+    from fairy_core_ray.sources.synth import ensure_image_dataset
+
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+    path = ensure_image_dataset(4 * n_docs, seed=42)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cap = df["caption"].fillna("").astype(str)
+        first = cap.str.split(" ", n=1).str[0].fillna("")
+        nb = cap.str.len().to_numpy(np.int64)  # ASCII corpus: bytes == chars
+        g = (
+            pd.DataFrame({"first_tok": first, "nb": nb})
+            .groupby("first_tok", sort=False)["nb"]
+            .agg(["size", "sum"])
+            .reset_index()
+        )
+        g.columns = ["first_tok", "n_caps", "sum_bytes"]
+        return g.astype({"n_caps": np.int64, "sum_bytes": np.int64})
+
+    parts = rd.read_parquet(path, columns=["caption"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    allp = fold_to_pandas(parts)
+    if allp is None or not len(allp):
+        return pd.DataFrame(
+            {
+                "first_tok": pd.Series([], dtype=object),
+                "n_caps": pd.Series([], dtype=np.int64),
+                "sum_bytes": pd.Series([], dtype=np.int64),
+            }
+        )
+    out = (
+        allp.groupby("first_tok", sort=False)[["n_caps", "sum_bytes"]]
+        .sum()
+        .reset_index()
+        .astype({"n_caps": np.int64, "sum_bytes": np.int64})
+    )
+    return out.sort_values("first_tok").reset_index(drop=True)
+
+
+def _caption_stats_sql() -> str:
+    from fairy_core_ray.pipelines.sql_hash import DOCS_X4_SERIES_SQL
+    from fairy_core_ray.sources.synth import (
+        _WORDS,
+        V_BLANK_CAPTION,
+        V_CTRL_CAPTION,
+        V_WS_CAPTION,
+        VIOLATION_MOD,
+    )
+
+    vals = ", ".join(f"({k}, '{w}', {len(w)})" for k, w in enumerate(_WORDS))
+    return f"""
+WITH s AS (SELECT i, i % {VIOLATION_MOD} AS band FROM ({DOCS_X4_SERIES_SQL})),
+words(k, w, l) AS (VALUES {vals})
+SELECT CASE WHEN band IN ({V_BLANK_CAPTION}, {V_WS_CAPTION}) THEN ''
+            ELSE w1.w END AS first_tok,
+       CAST(count(*) AS BIGINT) AS n_caps,
+       CAST(sum(CASE WHEN band = {V_BLANK_CAPTION} THEN 0
+                     WHEN band = {V_WS_CAPTION} THEN 3
+                     ELSE w1.l + w2.l + w3.l + 9
+                        + length(CAST(i AS VARCHAR))
+                        + CASE WHEN band = {V_CTRL_CAPTION} THEN 2
+                               ELSE 0 END
+                END) AS BIGINT) AS sum_bytes
+FROM s
+JOIN words w1 ON w1.k = i % 20
+JOIN words w2 ON w2.k = (i // 20) % 20
+JOIN words w3 ON w3.k = (i // 400) % 20
+GROUP BY 1
+"""
+
+
 EXT4_QUERIES = {
     "road_snap": q_road_snap,
     "bpe_top_merges": q_bpe_top_merges,
@@ -613,6 +710,7 @@ EXT4_QUERIES = {
     "char_chi2": q_char_chi2,
     "traj_simplify": q_traj_simplify,
     "cohort_retention": q_cohort_retention,
+    "caption_stats": q_caption_stats,
 }
 
 EXT4_ORACLE = {
@@ -622,6 +720,7 @@ EXT4_ORACLE = {
     "char_chi2": CHAR_CHI2_SQL,
     "traj_simplify": TRAJ_SIMPLIFY_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
+    "caption_stats": _caption_stats_sql(),
 }
 
 from fairy_core_ray.pipelines import queries as _q  # noqa: E402
