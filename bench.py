@@ -239,6 +239,7 @@ def run_queries(sf_dir: str, full: bool = False) -> tuple[dict, dict]:
             "traj_simplify",
             "cohort_retention",
             "caption_stats",
+            "window_top_users",
             "lsh_ann",
             "ivf_ann",
             "pq_ann",
