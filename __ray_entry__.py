@@ -50,6 +50,8 @@ _DRIVER_PRIORITY = [
     "traj_simplify",
     "cohort_retention",
     "caption_stats",
+    "cell_train_split",
+    "road_usage",
     "flagship_tile_stats",
     "ngram_pairs",
     "minhash_pairs",

@@ -239,6 +239,8 @@ def run_queries(sf_dir: str, full: bool = False) -> tuple[dict, dict]:
             "traj_simplify",
             "cohort_retention",
             "caption_stats",
+            "cell_train_split",
+            "road_usage",
             "window_top_users",
             "lsh_ann",
             "ivf_ann",

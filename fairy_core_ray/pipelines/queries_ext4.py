@@ -703,6 +703,136 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# cell_train_split — spatial block train/eval split
+# ---------------------------------------------------------------------------
+
+_CELL_SPLIT_SALT = 1717
+
+
+def q_cell_train_split(sf_dir: str):
+    """Spatial block split: assign every event to train/eval by hashing
+    its res-13 CELL (not its row id) — the geospatial-ML split that
+    keeps spatially-correlated neighbors on the SAME side, avoiding the
+    spatial-autocorrelation leakage a uniform row split causes (Roberts
+    et al. 2017, blocked cross-validation). Eval = cells whose gate
+    hash ≡ 0 (mod 5) — ~20 % of cells, deterministic, reproducible
+    across reruns and cluster sizes. One streaming ``map_batches``,
+    zero shuffle; the gate is the repo's uint64 multiplicative hash
+    (stages/sampling.py), mirrored in HUGEINT by the oracle."""
+    from fairy_core_ray.functions.geo import encode_cells
+    from fairy_core_ray.pipelines.queries import event_lonlat
+    from fairy_core_ray.stages.sampling import _gate_hash
+
+    ev = _t(sf_dir, "events", ["event_id"], split=8)
+
+    def split(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        lon, lat = event_lonlat(eid)
+        cell = encode_cells(lon, lat, 13)
+        h = _gate_hash(cell, salt=_CELL_SPLIT_SALT)
+        lab = np.where(h % 5 == 0, "eval", "train")
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "cell": pa.array(cell.astype(np.int64), pa.int64()),
+                "split": pa.array(lab.tolist(), pa.string()),
+            }
+        )
+
+    return ev.map_batches(split, batch_format="pyarrow")
+
+
+def _cell_train_split_sql() -> str:
+    from fairy_core_ray.pipelines.queries import CELL_SQL, EVENT_LONLAT_SQL
+    from fairy_core_ray.stages.sampling import HASH_MOD, HASH_MULT
+
+    return f"""
+WITH pts AS ({EVENT_LONLAT_SQL}),
+c AS (SELECT event_id, {CELL_SQL} AS cell FROM pts)
+SELECT event_id, cell,
+       CASE WHEN ((((CAST(cell AS HUGEINT) + {_CELL_SPLIT_SALT})
+                    % 18446744073709551616) * {HASH_MULT})
+                  % 18446744073709551616) % {HASH_MOD} % 5 = 0
+            THEN 'eval' ELSE 'train' END AS split
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# road_usage — map-matching rollup (per-road utilization)
+# ---------------------------------------------------------------------------
+
+
+def q_road_usage(sf_dir: str):
+    """Per-road utilization rollup over the road_snap assignment:
+    matched-event count, total snap distance², and the covered
+    along-road span [t_min, t_max] — the aggregate a road-network
+    operator reads off a map-matching run. Per-batch partials fold on
+    the bounded road key (≤ N_ROADS rows per batch), so the driver
+    fold is O(roads), corpus-independent — the word_topk posture."""
+    from fairy_core_ray.functions.folds import fold_to_pandas
+
+    snapped = q_road_snap(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("road_id", sort=False)
+            .agg(
+                n_events=("event_id", "size"),
+                sum_dist2=("dist2", "sum"),
+                t_min=("t_off", "min"),
+                t_max=("t_off", "max"),
+            )
+            .reset_index()
+        )
+        return g.astype(
+            {
+                "road_id": np.int64,
+                "n_events": np.int64,
+                "sum_dist2": np.int64,
+                "t_min": np.int64,
+                "t_max": np.int64,
+            }
+        )
+
+    parts = snapped.map_batches(partial, batch_format="pandas")
+    allp = fold_to_pandas(parts)
+    if allp is None or not len(allp):
+        return pd.DataFrame(
+            {
+                "road_id": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "sum_dist2": pd.Series([], dtype=np.int64),
+                "t_min": pd.Series([], dtype=np.int64),
+                "t_max": pd.Series([], dtype=np.int64),
+            }
+        )
+    out = (
+        allp.groupby("road_id", sort=False)
+        .agg(
+            n_events=("n_events", "sum"),
+            sum_dist2=("sum_dist2", "sum"),
+            t_min=("t_min", "min"),
+            t_max=("t_max", "max"),
+        )
+        .reset_index()
+        .astype(np.int64)
+    )
+    return out.sort_values("road_id").reset_index(drop=True)
+
+
+ROAD_USAGE_SQL = f"""
+WITH snap AS ({ROAD_SNAP_SQL})
+SELECT road_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(dist2) AS BIGINT) AS sum_dist2,
+       CAST(min(t_off) AS BIGINT) AS t_min,
+       CAST(max(t_off) AS BIGINT) AS t_max
+FROM snap GROUP BY road_id
+"""
+
+
 EXT4_QUERIES = {
     "road_snap": q_road_snap,
     "bpe_top_merges": q_bpe_top_merges,
@@ -711,6 +841,8 @@ EXT4_QUERIES = {
     "traj_simplify": q_traj_simplify,
     "cohort_retention": q_cohort_retention,
     "caption_stats": q_caption_stats,
+    "cell_train_split": q_cell_train_split,
+    "road_usage": q_road_usage,
 }
 
 EXT4_ORACLE = {
@@ -721,6 +853,8 @@ EXT4_ORACLE = {
     "traj_simplify": TRAJ_SIMPLIFY_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
     "caption_stats": _caption_stats_sql(),
+    "cell_train_split": _cell_train_split_sql(),
+    "road_usage": ROAD_USAGE_SQL,
 }
 
 from fairy_core_ray.pipelines import queries as _q  # noqa: E402
