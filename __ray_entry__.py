@@ -52,6 +52,8 @@ _DRIVER_PRIORITY = [
     "caption_stats",
     "cell_train_split",
     "road_usage",
+    "zorder_scan",
+    "hourly_anomalies",
     "flagship_tile_stats",
     "ngram_pairs",
     "minhash_pairs",

@@ -241,6 +241,8 @@ def run_queries(sf_dir: str, full: bool = False) -> tuple[dict, dict]:
             "caption_stats",
             "cell_train_split",
             "road_usage",
+            "zorder_scan",
+            "hourly_anomalies",
             "window_top_users",
             "lsh_ann",
             "ivf_ann",

@@ -833,6 +833,183 @@ FROM snap GROUP BY road_id
 """
 
 
+# ---------------------------------------------------------------------------
+# zorder_scan — Morton-curve tile index + range-scan false-positive audit
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10  # px // 1024 < 977 fits 10 bits
+#: query rectangle in Z-grid coordinates (inclusive)
+_Z_RECT = (300, 500, 600, 800)  # gx0, gx1, gy0, gy1
+
+
+def _morton(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Interleave the low _Z_BITS of gx (even positions) and gy (odd)."""
+    z = np.zeros_like(gx)
+    for b in range(_Z_BITS):
+        z |= ((gx >> b) & 1) << (2 * b) | ((gy >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def q_zorder_scan(sf_dir: str):
+    """Z-order (Morton) curve indexing — the linearization under
+    Lance/Delta-style spatial file skipping: encode every event's
+    footprint into a 20-bit Morton code, scan the single Z-range
+    [morton(rect_min), morton(rect_max)] that covers a query rectangle,
+    and flag which scanned rows actually fall inside it (``in_rect``) —
+    the exact-refine step after the index scan, made measurable: the
+    curve's false-positive rows are the in_rect = 0 ones. All integer
+    (grid coords are px // 1024), so the oracle — bit interleave as a
+    sum over a bits generator — matches exactly. One streaming
+    ``map_batches``, zero shuffle."""
+    from fairy_core_ray.pipelines.queries import _t
+
+    gx0, gx1, gy0, gy1 = _Z_RECT
+    zmin = int(_morton(np.array([gx0]), np.array([gy0]))[0])
+    zmax = int(_morton(np.array([gx1]), np.array([gy1]))[0])
+
+    def scan(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        gx = ((eid * 2654435761) % 1_000_000) // 1024
+        gy = ((eid * 104729 + 12345) % 1_000_000) // 1024
+        z = _morton(gx, gy)
+        keep = (z >= zmin) & (z <= zmax)
+        eid, gx, gy, z = eid[keep], gx[keep], gy[keep], z[keep]
+        in_rect = (
+            (gx >= gx0) & (gx <= gx1) & (gy >= gy0) & (gy <= gy1)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "zcode": pa.array(z, pa.int64()),
+                "in_rect": pa.array(in_rect, pa.int64()),
+            }
+        )
+
+    return _t(sf_dir, "events", ["event_id"], split=8).map_batches(
+        scan, batch_format="pyarrow"
+    )
+
+
+def _zorder_scan_sql() -> str:
+    gx0, gx1, gy0, gy1 = _Z_RECT
+    zmin = int(_morton(np.array([gx0]), np.array([gy0]))[0])
+    zmax = int(_morton(np.array([gx1]), np.array([gy1]))[0])
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         ((event_id * 2654435761) % 1000000) // 1024 AS gx,
+         ((event_id * 104729 + 12345) % 1000000) // 1024 AS gy
+  FROM events
+),
+bits AS (SELECT k FROM range({_Z_BITS}) t(k)),
+z AS (
+  SELECT event_id, gx, gy,
+         CAST(sum(((gx // (1 << k)) % 2) * (1 << (2 * k))
+                + ((gy // (1 << k)) % 2) * (1 << (2 * k + 1))) AS BIGINT)
+           AS zcode
+  FROM pts, bits GROUP BY event_id, gx, gy
+)
+SELECT event_id, zcode,
+       CAST(CASE WHEN gx BETWEEN {gx0} AND {gx1}
+                  AND gy BETWEEN {gy0} AND {gy1}
+            THEN 1 ELSE 0 END AS BIGINT) AS in_rect
+FROM z WHERE zcode BETWEEN {zmin} AND {zmax}
+"""
+
+
+# ---------------------------------------------------------------------------
+# hourly_anomalies — hours whose event count spikes vs the day median
+# ---------------------------------------------------------------------------
+
+
+def q_hourly_anomalies(sf_dir: str):
+    """Rate-anomaly detection: hours whose event count exceeds 1.5× the
+    day's median hourly count — the ops-monitoring shape over the event
+    stream. Exact integers throughout: the median of the day's m
+    present hourly counts is compared as ``4·c > 3·(v[(m−1)//2] +
+    v[m//2])`` with med2 = the sum of the two middle order statistics
+    (2× the median), so no float halves exist to disagree on.
+
+    Shape: per-batch (day, hour) count partials → ×64 day-hash buckets
+    (a day's hours co-locate) → per-bucket vectorized median + spike
+    filter. Output: epoch day, epoch-hour seconds, the hour's count and
+    the day's med2."""
+    from fairy_core_ray.pipelines.queries import _t
+
+    ev = _t(sf_dir, "events", ["ts"], split=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype(np.int64)
+        hour = (us // 1_000_000 // 3600) * 3600
+        out = (
+            pd.DataFrame({"hour": hour})
+            .groupby("hour", sort=False)
+            .size()
+            .rename("p_n")
+            .reset_index()
+        )
+        out["day"] = out["hour"] // 86400
+        out["b"] = out["day"] % 64
+        return out
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            df.groupby(["day", "hour"], sort=False)["p_n"]
+            .sum()
+            .rename("n_events")
+            .reset_index()
+        )
+        c = c.sort_values(["day", "n_events"], kind="mergesort")
+        grp = c.groupby("day", sort=False)["n_events"]
+        m = grp.transform("size").to_numpy(np.int64)
+        rank = grp.cumcount().to_numpy(np.int64)
+        n = c["n_events"].to_numpy(np.int64)
+        day = c["day"].to_numpy(np.int64)
+        lo_val = n[rank == (m - 1) // 2]
+        hi_val = n[rank == m // 2]
+        lo_day = day[rank == (m - 1) // 2]
+        med2 = pd.Series(lo_val + hi_val, index=lo_day)
+        c["med2"] = c["day"].map(med2).astype(np.int64)
+        out = c[4 * c["n_events"] > 3 * c["med2"]]
+        return out[["day", "hour", "n_events", "med2"]].astype(np.int64)
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("b")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+HOURLY_ANOMALIES_SQL = """
+WITH c AS (
+  SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour,
+         (epoch_us(ts) // 1000000 // 3600) * 3600 // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY day
+                               ORDER BY n_events, hour) - 1 AS rank,
+         count(*) OVER (PARTITION BY day) AS m
+  FROM c
+),
+med AS (
+  SELECT day, CAST(sum(n_events) AS BIGINT) AS med2
+  FROM r WHERE rank = (m - 1) // 2 OR rank = m // 2
+  GROUP BY day
+),
+med_fix AS (  -- odd m: both ranks coincide; the sum above counted once
+  SELECT r.day,
+         CAST(CASE WHEN max(r.m) % 2 = 1 THEN 2 * max(med.med2)
+                   ELSE max(med.med2) END AS BIGINT) AS med2
+  FROM r JOIN med USING (day) GROUP BY r.day
+)
+SELECT c.day, c.hour, c.n_events, f.med2
+FROM c JOIN med_fix f USING (day)
+WHERE 4 * c.n_events > 3 * f.med2
+"""
+
+
 EXT4_QUERIES = {
     "road_snap": q_road_snap,
     "bpe_top_merges": q_bpe_top_merges,
@@ -843,6 +1020,8 @@ EXT4_QUERIES = {
     "caption_stats": q_caption_stats,
     "cell_train_split": q_cell_train_split,
     "road_usage": q_road_usage,
+    "zorder_scan": q_zorder_scan,
+    "hourly_anomalies": q_hourly_anomalies,
 }
 
 EXT4_ORACLE = {
@@ -855,6 +1034,8 @@ EXT4_ORACLE = {
     "caption_stats": _caption_stats_sql(),
     "cell_train_split": _cell_train_split_sql(),
     "road_usage": ROAD_USAGE_SQL,
+    "zorder_scan": _zorder_scan_sql(),
+    "hourly_anomalies": HOURLY_ANOMALIES_SQL,
 }
 
 from fairy_core_ray.pipelines import queries as _q  # noqa: E402
