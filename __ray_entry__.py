@@ -54,6 +54,7 @@ _DRIVER_PRIORITY = [
     "road_usage",
     "zorder_scan",
     "hourly_anomalies",
+    "road_transitions",
     "flagship_tile_stats",
     "ngram_pairs",
     "minhash_pairs",

@@ -243,6 +243,7 @@ def run_queries(sf_dir: str, full: bool = False) -> tuple[dict, dict]:
             "road_usage",
             "zorder_scan",
             "hourly_anomalies",
+            "road_transitions",
             "window_top_users",
             "lsh_ann",
             "ivf_ann",

@@ -1010,6 +1010,110 @@ WHERE 4 * c.n_events > 3 * f.med2
 """
 
 
+# ---------------------------------------------------------------------------
+# road_transitions — road-corridor OD flows (map-matching × trajectory)
+# ---------------------------------------------------------------------------
+
+
+def q_road_transitions(sf_dir: str):
+    """Composed mobility pipeline: snap every event to its road
+    (road_snap's exact nearest-segment assignment), order each user's
+    events by (ts, event_id), and count the road→road transitions of
+    consecutive events (self-loops dropped) — the corridor OD matrix a
+    traffic model consumes, one level above the zone OD (od_matrix).
+
+    Shape: the snap is the same zero-shuffle broadcast scan; the
+    per-user sequencing runs in ×256 user-hash buckets (whole
+    trajectory co-located, vectorized sort + shift, like od_matrix);
+    the final (road_from, road_to) fold is roads²-bounded (≤ 16k
+    pairs), corpus-independent — driver fold."""
+    import ray
+
+    from fairy_core_ray.functions.folds import fold_to_pandas
+    from fairy_core_ray.pipelines.queries import _t
+
+    roads_ref = ray.put(_roads())
+
+    def snap_keep(t: pa.Table) -> pa.Table:
+        r = ray.get(roads_ref)
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        px = (eid * 2654435761) % 1_000_000
+        py = (eid * 104729 + 12345) % 1_000_000
+        dx = px[:, None] - r["x0"][None, :]
+        dy = py[:, None] - r["y0"][None, :]
+        horiz = r["orient"][None, :] == 0
+        along = np.where(horiz, dx, dy)
+        perp = np.where(horiz, dy, dx)
+        t_off = np.clip(along, 0, r["length"][None, :])
+        d2 = (along - t_off) ** 2 + perp**2
+        j = np.argmin(d2, axis=1).astype(np.int64)
+        return (
+            t.append_column("road_id", pa.array(j, pa.int64()))
+            .append_column(
+                "b", pa.array((t["user_id"].to_numpy() % 256).astype(np.int64))
+            )
+        )
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy(np.int64)
+        rid = df["road_id"].to_numpy(np.int64)
+        same_user = uid[1:] == uid[:-1]
+        moved = rid[1:] != rid[:-1]
+        m = same_user & moved
+        out = (
+            pd.DataFrame({"road_from": rid[:-1][m], "road_to": rid[1:][m]})
+            .groupby(["road_from", "road_to"], sort=False)
+            .size()
+            .rename("n_trips")
+            .reset_index()
+        )
+        return out.astype(np.int64)
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"], split=8)
+    parts = (
+        ev.map_batches(snap_keep, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(transitions, batch_format="pandas")
+    )
+    allp = fold_to_pandas(parts)
+    if allp is None or not len(allp):
+        return pd.DataFrame(
+            {
+                "road_from": pd.Series([], dtype=np.int64),
+                "road_to": pd.Series([], dtype=np.int64),
+                "n_trips": pd.Series([], dtype=np.int64),
+            }
+        )
+    out = (
+        allp.groupby(["road_from", "road_to"], sort=False)["n_trips"]
+        .sum()
+        .reset_index()
+        .astype(np.int64)
+    )
+    return out.sort_values(["road_from", "road_to"]).reset_index(drop=True)
+
+
+ROAD_TRANSITIONS_SQL = f"""
+WITH snap AS ({ROAD_SNAP_SQL}),
+j AS (
+  SELECT s.road_id, e.user_id, e.ts, e.event_id
+  FROM snap s JOIN events e USING (event_id)
+),
+seq AS (
+  SELECT user_id, road_id,
+         lag(road_id) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS prev
+  FROM j
+)
+SELECT CAST(prev AS BIGINT) AS road_from,
+       CAST(road_id AS BIGINT) AS road_to,
+       CAST(count(*) AS BIGINT) AS n_trips
+FROM seq WHERE prev IS NOT NULL AND prev <> road_id
+GROUP BY prev, road_id
+"""
+
+
 EXT4_QUERIES = {
     "road_snap": q_road_snap,
     "bpe_top_merges": q_bpe_top_merges,
@@ -1022,6 +1126,7 @@ EXT4_QUERIES = {
     "road_usage": q_road_usage,
     "zorder_scan": q_zorder_scan,
     "hourly_anomalies": q_hourly_anomalies,
+    "road_transitions": q_road_transitions,
 }
 
 EXT4_ORACLE = {
@@ -1036,6 +1141,7 @@ EXT4_ORACLE = {
     "road_usage": ROAD_USAGE_SQL,
     "zorder_scan": _zorder_scan_sql(),
     "hourly_anomalies": HOURLY_ANOMALIES_SQL,
+    "road_transitions": ROAD_TRANSITIONS_SQL,
 }
 
 from fairy_core_ray.pipelines import queries as _q  # noqa: E402
