@@ -57,6 +57,25 @@ def _roads() -> dict[str, np.ndarray]:
     }
 
 
+def _snap_nearest(eid: np.ndarray, r: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized exact nearest-segment assignment for event ids:
+    returns (road_id j, along-road offset t_off, dist2), the single
+    source of the snap math shared by road_snap and road_transitions
+    (first-min argmin == SQL ORDER BY dist2, road_id)."""
+    px = (eid * 2654435761) % 1_000_000
+    py = (eid * 104729 + 12345) % 1_000_000
+    dx = px[:, None] - r["x0"][None, :]
+    dy = py[:, None] - r["y0"][None, :]
+    horiz = r["orient"][None, :] == 0
+    along = np.where(horiz, dx, dy)
+    perp = np.where(horiz, dy, dx)
+    t_off = np.clip(along, 0, r["length"][None, :])
+    d2 = (along - t_off) ** 2 + perp**2
+    j = np.argmin(d2, axis=1).astype(np.int64)
+    rows = np.arange(len(eid))
+    return j, t_off[rows, j].astype(np.int64), d2[rows, j].astype(np.int64)
+
+
 def q_road_snap(sf_dir: str):
     """Map matching: for each event point (the event_lonlat footprint in
     integer micro-units), the nearest road segment by point-to-segment
@@ -74,25 +93,14 @@ def q_road_snap(sf_dir: str):
     roads_ref = ray.put(_roads())
 
     def snap(t: pa.Table) -> pa.Table:
-        r = ray.get(roads_ref)
         eid = t["event_id"].to_numpy().astype(np.int64)
-        px = (eid * 2654435761) % 1_000_000
-        py = (eid * 104729 + 12345) % 1_000_000
-        dx = px[:, None] - r["x0"][None, :]
-        dy = py[:, None] - r["y0"][None, :]
-        horiz = r["orient"][None, :] == 0
-        along = np.where(horiz, dx, dy)
-        perp = np.where(horiz, dy, dx)
-        t_off = np.clip(along, 0, r["length"][None, :])
-        d2 = (along - t_off) ** 2 + perp**2
-        j = np.argmin(d2, axis=1)  # first min → smallest road_id
-        rows = np.arange(len(eid))
+        j, t_off, d2 = _snap_nearest(eid, ray.get(roads_ref))
         return pa.table(
             {
                 "event_id": pa.array(eid, pa.int64()),
-                "road_id": pa.array(j.astype(np.int64), pa.int64()),
-                "t_off": pa.array(t_off[rows, j].astype(np.int64), pa.int64()),
-                "dist2": pa.array(d2[rows, j].astype(np.int64), pa.int64()),
+                "road_id": pa.array(j, pa.int64()),
+                "t_off": pa.array(t_off, pa.int64()),
+                "dist2": pa.array(d2, pa.int64()),
             }
         )
 
@@ -358,8 +366,10 @@ def q_char_chi2(sf_dir: str):
 
 CHAR_CHI2_SQL = """
 WITH c AS (
-  SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS ch
-  FROM documents
+  -- string_split('', '') yields [''] in DuckDB; exclude empty docs so
+  -- they fall through the LEFT JOIN as (0, 0, 0) like the byte path
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE len(coalesce(text, '')) > 0
 ),
 cnt AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY doc_id, ch),
 s AS (SELECT doc_id, count(*) AS k, sum(c) AS n FROM cnt GROUP BY doc_id)
@@ -431,9 +441,7 @@ def q_traj_simplify(sf_dir: str):
     scan with the per-interval deviation vectorized. The oracle
     reproduces the recursion as a recursive CTE over intervals with a
     precomputed per-(lo,hi) argmax table."""
-    from fairy_core_ray.pipelines.queries import _t
-
-    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"], split=8)
 
     def add_pos(t: pa.Table) -> pa.Table:
         eid = t["event_id"].to_numpy().astype(np.int64)
@@ -552,13 +560,12 @@ def q_cohort_retention(sf_dir: str):
     Shape: per-batch (user, day) dedup partials → ×256 user-hash
     buckets so each user's day set is co-located → per-bucket
     vectorized cohort transform (min day per user) + local
-    (cohort, day) partial counts → one small global sum-groupby over
-    (cohort, day) pairs (bounded by days², corpus-independent). The
-    per-user state never leaves its bucket; no broadcast, no driver
-    fold."""
-    import ray.data as rd
-
-    from fairy_core_ray.pipelines.queries import _t
+    (cohort, day) partial counts → a days²-bounded, corpus-independent
+    driver fold (the road_usage/word_topk posture — a native
+    composite-key aggregate here measured 38 s on 95k rows at
+    sf0.1/32cpus, see queries_ext2 window_top_users). The per-user
+    state never leaves its bucket; no broadcast."""
+    from fairy_core_ray.functions.folds import fold_to_pandas
 
     ev = _t(sf_dir, "events", ["user_id", "ts"], split=8)
 
@@ -582,13 +589,27 @@ def q_cohort_retention(sf_dir: str):
             {"cohort_day": np.int64, "day": np.int64, "n_users": np.int64}
         )
 
-    return (
+    parts = (
         ev.map_batches(pairs, batch_format="pyarrow")
         .groupby("b")
         .map_groups(fold, batch_format="pandas")
-        .groupby(["cohort_day", "day"])
-        .aggregate(rd.aggregate.Sum("n_users", alias_name="n_users"))
     )
+    allp = fold_to_pandas(parts)
+    if allp is None or not len(allp):
+        return pd.DataFrame(
+            {
+                "cohort_day": pd.Series([], dtype=np.int64),
+                "day": pd.Series([], dtype=np.int64),
+                "n_users": pd.Series([], dtype=np.int64),
+            }
+        )
+    out = (
+        allp.groupby(["cohort_day", "day"], sort=False)["n_users"]
+        .sum()
+        .reset_index()
+        .astype(np.int64)
+    )
+    return out.sort_values(["cohort_day", "day"]).reset_index(drop=True)
 
 
 COHORT_RETENTION_SQL = """
@@ -861,8 +882,6 @@ def q_zorder_scan(sf_dir: str):
     (grid coords are px // 1024), so the oracle — bit interleave as a
     sum over a bits generator — matches exactly. One streaming
     ``map_batches``, zero shuffle."""
-    from fairy_core_ray.pipelines.queries import _t
-
     gx0, gx1, gy0, gy1 = _Z_RECT
     zmin = int(_morton(np.array([gx0]), np.array([gy0]))[0])
     zmax = int(_morton(np.array([gx1]), np.array([gy1]))[0])
@@ -934,8 +953,6 @@ def q_hourly_anomalies(sf_dir: str):
     (a day's hours co-locate) → per-bucket vectorized median + spike
     filter. Output: epoch day, epoch-hour seconds, the hour's count and
     the day's med2."""
-    from fairy_core_ray.pipelines.queries import _t
-
     ev = _t(sf_dir, "events", ["ts"], split=8)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1030,23 +1047,11 @@ def q_road_transitions(sf_dir: str):
     import ray
 
     from fairy_core_ray.functions.folds import fold_to_pandas
-    from fairy_core_ray.pipelines.queries import _t
-
     roads_ref = ray.put(_roads())
 
     def snap_keep(t: pa.Table) -> pa.Table:
-        r = ray.get(roads_ref)
         eid = t["event_id"].to_numpy().astype(np.int64)
-        px = (eid * 2654435761) % 1_000_000
-        py = (eid * 104729 + 12345) % 1_000_000
-        dx = px[:, None] - r["x0"][None, :]
-        dy = py[:, None] - r["y0"][None, :]
-        horiz = r["orient"][None, :] == 0
-        along = np.where(horiz, dx, dy)
-        perp = np.where(horiz, dy, dx)
-        t_off = np.clip(along, 0, r["length"][None, :])
-        d2 = (along - t_off) ** 2 + perp**2
-        j = np.argmin(d2, axis=1).astype(np.int64)
+        j, _t_off, _d2 = _snap_nearest(eid, ray.get(roads_ref))
         return (
             t.append_column("road_id", pa.array(j, pa.int64()))
             .append_column(

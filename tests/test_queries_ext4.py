@@ -99,6 +99,23 @@ def test_char_chi2_matches_counter_bruteforce(ray_session):
         assert (row["chi2_num"], row["k_distinct"], row["n_bytes"]) == (chi2, k, n)
 
 
+def test_char_chi2_oracle_handles_empty_docs():
+    """DuckDB string_split('', '') yields [''], not [] — the oracle
+    must report (0, 0, 0) for empty/NULL text like the byte path does
+    (review finding, round 5)."""
+    from fairy_core_ray.pipelines.queries_ext4 import CHAR_CHI2_SQL
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'aab'), (2, ''), (3, NULL)) t(doc_id, text)"
+    )
+    got = con.sql(CHAR_CHI2_SQL).df().set_index("doc_id").sort_index()
+    assert tuple(got.loc[1]) == (2, 2, 3)  # (2*2-3)^2 + (1*2-3)^2 = 2
+    assert tuple(got.loc[2]) == (0, 0, 0)
+    assert tuple(got.loc[3]) == (0, 0, 0)
+
+
 def test_traj_simplify_matches_recursive_replay(ray_session):
     """Independent plain-Python recursive DP (arbitrary-precision ints,
     no numpy, no stack trick) over every user's trajectory must produce
