@@ -102,7 +102,18 @@ def headline(sf_dir: str, ncpus: int) -> dict:
     img_root = os.path.join(_root(), "fairy_images")
     if os.path.isdir(img_root):
         for d in os.listdir(img_root):
-            if d.startswith("n") and not d.startswith(f"n{n_images}_"):
+            if not d.startswith("n") or d.startswith(f"n{n_images}_"):
+                continue
+            try:
+                n_dir = int(d[1:].split("_")[0])
+            except ValueError:
+                n_dir = -1
+            # keep the small query corpora (image_dims/aspect/thumb at
+            # 2x/4x docs, tens of MB) cached — purging them made every
+            # --full sweep re-pay their synthesis inside the first
+            # query that touches them; only large stale corpora
+            # pressure tmpfs
+            if n_dir < 0 or n_dir >= 1_000_000:
                 _sh.rmtree(os.path.join(img_root, d), ignore_errors=True)
     _sh.rmtree(os.path.join(_root(), "fairy_bench"), ignore_errors=True)
     # 256 files: uniform rows per file AND a multiple of the scaling CPU

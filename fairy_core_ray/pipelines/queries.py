@@ -1105,7 +1105,10 @@ def q_image_thumb_stats(sf_dir: str):
         ThumbnailStage,
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=(1, 4),
+        # min 1 actor keeps 4-cpu test sessions deadlock-free; the max
+        # tracks a 32-cpu node — the pool was the --full sweep's slowest
+        # stage at max 4 (5.6 s for 120k decodes)
+        concurrency=(1, 12),
     )
 
 
@@ -1206,7 +1209,7 @@ def q_langid(sf_dir: str):
     first-max-wins tie-break becomes a priority CASE chain."""
     return (
         _t(sf_dir, "documents", ["doc_id", "text"], split=8)
-        .map_batches(ts.LangId, batch_format="pandas", concurrency=(1, 4))
+        .map_batches(ts.LangId, batch_format="pandas", concurrency=(1, 8))
         .select_columns(["doc_id", "lang_pred"])
     )
 
